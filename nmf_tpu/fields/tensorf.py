@@ -1,0 +1,456 @@
+"""TensoRF vector-matrix factorized radiance field, TPU-native.
+
+Re-implements the semantics of the reference ``fields/tensoRF.py`` (TensoRF
+factor grids :25-243, TensorVMSplit :246-445) and ``fields/tensor_base.py``
+(normalize_coord :66-81, feature2density :83-93, compute_normals :107-129,
+voxel upsample schedule :171-243) as functional JAX pytrees.
+
+Key TPU-first departures from the reference:
+
+- The query path is 6 bilinear gathers + one feature contraction, written so
+  XLA fuses them; there is no grid_sample kernel boundary.
+- Smoothed density normals (the reference's grid_sample_Cinf double-backward,
+  modules/grid_sample_Cinf.py:83-191) are expressed *forward*: derivative
+  planes are pre-convolved from the current parameters each step and normals
+  are direct samples of them -- ordinary autodiff then differentiates the
+  whole thing w.r.t. parameters, which is what create_graph=True achieved in
+  torch.
+- Shape-changing schedule events (upsample/shrink) return a new field pytree;
+  they happen between jit boundaries.
+"""
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..ops import safemath
+from ..ops.grid_sample import (
+    conv1d_same,
+    conv2d_same,
+    grid_sample_1d,
+    grid_sample_2d,
+    resize_align_corners_1d,
+    resize_align_corners_2d,
+    smoothed_derivative_kernels_2d,
+)
+
+# plane i holds axes MAT_MODE[i]; line i holds axis VEC_MODE[i]
+MAT_MODE = ((0, 1), (0, 2), (1, 2))
+VEC_MODE = (2, 1, 0)
+
+
+@struct.dataclass
+class FactorGrid:
+    """One plane+line factor set (reference ``TensoRF``, fields/tensoRF.py:25)."""
+    planes: Any  # tuple of 3 arrays (C, H, W)
+    lines: Any   # tuple of 3 arrays (C, L)
+
+    @property
+    def n_comp(self) -> int:
+        return self.planes[0].shape[0]
+
+    def dim(self) -> int:
+        return 3 * self.n_comp
+
+    def query(self, coords):
+        """coords: (..., 3) normalized in [-1,1] -> list of 3 (..., C)."""
+        feats = []
+        for i in range(3):
+            m0, m1 = MAT_MODE[i]
+            v = VEC_MODE[i]
+            # torch grid_sample: last coord dim is (x, y); plane sampled at
+            # (xyz[m0], xyz[m1]) -> x=m0 indexes W, y=m1 indexes H
+            pc = grid_sample_2d(
+                self.planes[i],
+                jnp.stack([coords[..., m0], coords[..., m1]], axis=-1),
+            )
+            lc = grid_sample_1d(self.lines[i], coords[..., v])
+            feats.append(pc * lc)
+        return feats
+
+    def query_with_derivs(self, coords, dkernels):
+        """Returns (feats, dfeats) where dfeats[j] matches the smoothed
+        coordinate-derivative semantics of grid_sample_Cinf: derivative of
+        each factor product w.r.t. normalized coordinate j, using blurred
+        central-difference filtered planes/lines."""
+        kx, ky, k1 = dkernels
+        feats = []
+        dfeats = [[], [], []]  # per world axis j
+        for i in range(3):
+            m0, m1 = MAT_MODE[i]
+            v = VEC_MODE[i]
+            pcoord = jnp.stack([coords[..., m0], coords[..., m1]], axis=-1)
+            plane = self.planes[i]
+            line = self.lines[i]
+            pc = grid_sample_2d(plane, pcoord)
+            lc = grid_sample_1d(line, coords[..., v])
+            feats.append(pc * lc)
+            # derivative w.r.t. m0 (x of the plane) and m1 (y of the plane)
+            dpx = grid_sample_2d(conv2d_same(plane, kx), pcoord)
+            dpy = grid_sample_2d(conv2d_same(plane, ky), pcoord)
+            dl = grid_sample_1d(conv1d_same(line, k1), coords[..., v])
+            dfeats[m0].append(dpx * lc)
+            dfeats[m1].append(dpy * lc)
+            dfeats[v].append(pc * dl)
+        return feats, dfeats
+
+
+def init_factor_grid(key, grid_size: int, n_comp: int, init_mode: str,
+                     init_val: float):
+    """Reference init_one_svd modes (fields/tensoRF.py:65-159)."""
+    planes, lines = [], []
+    keys = jax.random.split(key, 6)
+    for i in range(3):
+        pk, lk = keys[2 * i], keys[2 * i + 1]
+        if init_mode == "trig":
+            pos = jnp.linspace(-1, 1, grid_size)
+            xy = pos[:, None] + pos[None, :]
+            n_degs = n_comp // 2
+            freqs = 2.0 ** jnp.arange(n_degs - 1)
+            freqs = jnp.concatenate([jnp.zeros((1,)), freqs])
+            scales = init_val * jnp.exp(-freqs)
+            ang_p = freqs[:, None, None] * xy[None] * math.pi
+            plane = jnp.concatenate([
+                scales[:, None, None] * jnp.sin(ang_p),
+                scales[:, None, None] * jnp.cos(ang_p),
+            ], axis=0)
+            ang_l = freqs[:, None] * pos[None] * math.pi
+            line = jnp.concatenate([
+                scales[:, None] * jnp.sin(ang_l),
+                scales[:, None] * jnp.cos(ang_l),
+            ], axis=0)
+        elif init_mode == "unif":
+            plane = init_val ** 0.5 * (
+                2 * jax.random.uniform(pk, (n_comp, grid_size, grid_size)) - 1)
+            line = init_val ** 0.5 * (
+                2 * jax.random.uniform(lk, (n_comp, grid_size)) - 1)
+        elif init_mode == "unifplane":
+            plane = init_val ** 0.5 * (
+                2 * jax.random.uniform(pk, (n_comp, grid_size, grid_size)) - 1)
+            line = init_val ** 0.5 * jnp.ones((n_comp, grid_size))
+        elif init_mode == "randplane":
+            plane = init_val ** 0.5 * jax.random.normal(
+                pk, (n_comp, grid_size, grid_size))
+            line = init_val ** 0.5 * jnp.ones((n_comp, grid_size))
+        else:  # 'rand' default
+            plane = init_val * jax.random.normal(pk, (n_comp, grid_size, grid_size))
+            line = init_val * jax.random.normal(lk, (n_comp, grid_size))
+        planes.append(plane)
+        lines.append(line)
+    return FactorGrid(planes=tuple(planes), lines=tuple(lines))
+
+
+def upsample_factor_grid(fg: FactorGrid, res_target) -> FactorGrid:
+    """F.interpolate align_corners upsample (fields/tensoRF.py:207-227)."""
+    planes, lines = [], []
+    for i in range(3):
+        m0, m1 = MAT_MODE[i]
+        v = VEC_MODE[i]
+        planes.append(resize_align_corners_2d(
+            fg.planes[i], (int(res_target[m1]), int(res_target[m0]))))
+        lines.append(resize_align_corners_1d(fg.lines[i], int(res_target[v])))
+    return FactorGrid(planes=tuple(planes), lines=tuple(lines))
+
+
+def shrink_factor_grid(fg: FactorGrid, t_l, b_r) -> FactorGrid:
+    planes, lines = [], []
+    for i in range(3):
+        m0, m1 = MAT_MODE[i]
+        v = VEC_MODE[i]
+        lines.append(fg.lines[i][:, int(t_l[v]):int(b_r[v])])
+        planes.append(fg.planes[i][:, int(t_l[m1]):int(b_r[m1]),
+                                   int(t_l[m0]):int(b_r[m0])])
+    return FactorGrid(planes=tuple(planes), lines=tuple(lines))
+
+
+@struct.dataclass
+class TensorVMSplit:
+    """Split density/appearance VM field (fields/tensoRF.py:246-445)."""
+    density_rf: FactorGrid
+    app_rf: FactorGrid
+    basis_mat: Any    # (app_rf.dim(), app_dim)
+    dbasis_mat: Any   # (density_rf.dim(), 1)
+    aabb: Any         # (2, 3)
+
+    # static configuration
+    app_dim: int = struct.field(pytree_node=False, default=24)
+    activation: str = struct.field(pytree_node=False, default="softplus")
+    density_shift: float = struct.field(pytree_node=False, default=-4.0)
+    distance_scale: float = struct.field(pytree_node=False, default=25.0)
+    contract_space: bool = struct.field(pytree_node=False, default=False)
+    dbasis: bool = struct.field(pytree_node=False, default=False)
+    step_ratio: float = struct.field(pytree_node=False, default=0.5)
+    density_res_multi: float = struct.field(pytree_node=False, default=1.0)
+    smoothing: float = struct.field(pytree_node=False, default=1.0)
+    numer_grad: bool = struct.field(pytree_node=False, default=True)
+    interp_mode: str = struct.field(pytree_node=False, default="bilinear")
+    grid_size: Tuple[int, int, int] = struct.field(
+        pytree_node=False, default=(128, 128, 128))
+    # voxel schedule (static; drives host-side check_schedule)
+    n_voxel_list: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    upsamp_list: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    lr: float = struct.field(pytree_node=False, default=0.02)
+    lr_net: float = struct.field(pytree_node=False, default=1e-3)
+    separate_appgrid: bool = struct.field(pytree_node=False, default=True)
+    num_pretrain: int = struct.field(pytree_node=False, default=0)
+    calibrate: bool = struct.field(pytree_node=False, default=False)
+
+    # ---- derived geometry (host-side helpers, python floats) ----
+    @property
+    def aabb_size(self):
+        return self.aabb[1] - self.aabb[0]
+
+    @property
+    def units(self):
+        gs = jnp.asarray(self.grid_size, dtype=jnp.float32)
+        return self.aabb_size / (gs - 1)
+
+    @property
+    def stepsize(self) -> float:
+        units = np.asarray(self.aabb[1] - self.aabb[0], dtype=np.float64) / (
+            np.asarray(self.grid_size, dtype=np.float64) - 1)
+        return float(units.min() * self.step_ratio)
+
+    @property
+    def aabb_diag(self) -> float:
+        return float(np.linalg.norm(np.asarray(self.aabb[1] - self.aabb[0])))
+
+    @property
+    def n_samples(self) -> int:
+        return int(self.aabb_diag / self.stepsize) + 1
+
+    # ---- coordinate handling ----
+    def normalize_coord(self, xyz):
+        """World xyz (..., 3 or 4, trailing channel = footprint size) ->
+        normalized [-1,1] (tensor_base.py:66-81)."""
+        coords = (xyz[..., :3] - self.aabb[0]) * (2.0 / self.aabb_size) - 1
+        rest = xyz[..., 3:]
+        normed = jnp.concatenate([coords, rest], axis=-1)
+        if self.contract_space:
+            d = 3
+            dist = jnp.linalg.norm(xyz[..., :d], axis=-1, keepdims=True) + 1e-8
+            direction = xyz[..., :d] / dist
+            contracted = jnp.where(dist > 1, (dist - 1) / 4 + 1, dist) / 2
+            return jnp.concatenate([contracted * direction, xyz[..., d:]], axis=-1)
+        return normed
+
+    def feature2density(self, feat):
+        if self.activation == "softplus":
+            return jax.nn.softplus(jnp.clip(feat, -15, 1e3) + self.density_shift)
+        if self.activation == "relu":
+            return jax.nn.relu(feat + self.density_shift)
+        if self.activation == "exp":
+            return safemath.trunc_exp(feat + self.density_shift)
+        if self.activation == "identity":
+            return feat
+        raise ValueError(f"Unknown activation {self.activation}")
+
+    # ---- queries (coords normalized) ----
+    def _contract_density(self, feats):
+        """feats: list of 3 (..., C) -> (...,). dbasis matmul or plain sum."""
+        if self.dbasis:
+            cat = jnp.concatenate(feats, axis=-1)
+            return jnp.dot(cat, self.dbasis_mat,
+                           preferred_element_type=jnp.float32)[..., 0]
+        return sum(f.sum(axis=-1) for f in feats)
+
+    def compute_densityfeature(self, xyz, activate=True):
+        """World xyz (..., 3/4) -> density (...,)."""
+        coords = self.normalize_coord(xyz)[..., :3]
+        feats = self.density_rf.query(coords)
+        sig = self._contract_density(feats)
+        return self.feature2density(sig) if activate else sig
+
+    def compute_appfeature(self, xyz):
+        coords = self.normalize_coord(xyz)[..., :3]
+        feats = self.app_rf.query(coords)
+        cat = jnp.concatenate(feats, axis=-1)
+        return jnp.dot(cat, self.basis_mat, preferred_element_type=jnp.float32)
+
+    def _dkernels(self):
+        kx, ky = smoothed_derivative_kernels_2d(self.smoothing)
+        # 1D: blur (delta here, matching f_blur=[0,1,0]) * central difference
+        k1 = -np.array([1.0, 0.0, -1.0]) / 2.0 * -1.0  # sign per Cinf SIGN=-1
+        k1 = np.convolve(np.array([0.0, 1.0, 0.0]), -np.array([1.0, 0.0, -1.0]) / 2.0)
+        return jnp.asarray(kx), jnp.asarray(ky), jnp.asarray(k1)
+
+    def compute_normals(self, xyz):
+        """World-space density normals: normalize(-grad sigma_feat).
+
+        numer_grad=True: the smoothed-filter gradient (grid_sample_Cinf
+        semantics); otherwise plain autodiff through the bilinear gather.
+        Differentiable w.r.t. field parameters in both cases (reference
+        tensor_base.py:107-129 with create_graph=True).
+        """
+        if self.numer_grad:
+            coords = self.normalize_coord(xyz)[..., :3]
+            _, dfeats = self.density_rf.query_with_derivs(coords, self._dkernels())
+            grads = []
+            for j in range(3):
+                grads.append(self._contract_density_grad(dfeats[j]))
+            g = jnp.stack(grads, axis=-1)
+        else:
+            def sig_fn(pts3):
+                feats = self.density_rf.query(
+                    self.normalize_coord(pts3)[..., :3])
+                return self._contract_density(feats).sum()
+            g = jax.grad(sig_fn)(xyz[..., :3])
+        return safemath.normalize(-g)
+
+    def _contract_density_grad(self, dfeat_list):
+        """Contract derivative features the same way density is contracted.
+
+        dfeat_list: contributions to axis j, each (..., C) from specific
+        planes. With dbasis the weights of the corresponding blocks apply."""
+        if not self.dbasis:
+            return sum(f.sum(axis=-1) for f in dfeat_list)
+        # dbasis: need block-aligned weighting. query_with_derivs appends
+        # exactly 2 entries per world axis (one per plane touching it) in
+        # plane order; rebuild the full 3-block layout with zeros.
+        raise NotImplementedError(
+            "dbasis=True with smoothed normals is not used by shipped configs"
+        )
+
+    # ---- regularizers (train.py:669-707 / tensoRF.py:315-360) ----
+    def density_L1(self):
+        total = 0.0
+        for i in range(3):
+            total = total + jnp.abs(self.density_rf.planes[i]).mean() \
+                + jnp.abs(self.density_rf.lines[i]).mean()
+        return total
+
+    def _tv(self, x2d):
+        h_tv = x2d[..., 1:, :-1] - x2d[..., :-1, :-1]
+        w_tv = x2d[..., :-1, 1:] - x2d[..., :-1, :-1]
+        return jnp.sqrt(w_tv ** 2 + h_tv ** 2 + 1e-5).mean()
+
+    def _tv_line(self, line):
+        return jnp.abs(line[..., 1:] - line[..., :-1]).mean()
+
+    def tv_loss_density(self):
+        total = 0.0
+        for i in range(3):
+            total = total + self._tv(self.density_rf.planes[i]) * 1e-2 \
+                + self._tv_line(self.density_rf.lines[i]) * 1e-3
+        return total
+
+    def tv_loss_app(self):
+        total = 0.0
+        for i in range(3):
+            total = total + self._tv(self.app_rf.planes[i]) * 1e-2 \
+                + self._tv_line(self.app_rf.lines[i]) * 1e-3
+        return total
+
+    def vector_comp_diffs(self):
+        """Orthogonality regularizer over line components (tensoRF.py:315-330)."""
+        total = 0.0
+        for fg in (self.density_rf, self.app_rf):
+            for i in range(3):
+                vec = fg.lines[i]  # (C, L)
+                dotp = vec @ vec.T
+                n_comp = vec.shape[0]
+                off_diag = dotp - jnp.diag(jnp.diag(dotp))
+                total = total + jnp.abs(off_diag).sum() / max(
+                    n_comp * (n_comp - 1), 1)
+        return total
+
+    # ---- schedule events (host side; return new pytrees) ----
+    def check_schedule(self, iteration: int, batch_mul: int = 1):
+        upsamp = [i * batch_mul for i in self.upsamp_list]
+        if iteration in upsamp:
+            i = upsamp.index(iteration)
+            n_voxels = self.n_voxel_list[i]
+            from ..utils import n_to_reso
+
+            reso = n_to_reso(n_voxels, np.asarray(self.aabb))
+            return self.upsample(reso), True
+        return self, False
+
+    def upsample(self, res_target):
+        return self.replace(
+            density_rf=upsample_factor_grid(self.density_rf, res_target),
+            app_rf=upsample_factor_grid(self.app_rf, res_target),
+            grid_size=tuple(int(r) for r in res_target),
+        )
+
+    def shrink(self, new_aabb):
+        """Crop grids to a new AABB (tensoRF.py:415-445), aligning the aabb
+        to the voxel lattice."""
+        aabb = np.asarray(self.aabb)
+        units = (aabb[1] - aabb[0]) / (np.asarray(self.grid_size) - 1)
+        t_l = np.round((np.asarray(new_aabb[0]) - aabb[0]) / units).astype(int)
+        b_r = np.round((np.asarray(new_aabb[1]) - aabb[0]) / units).astype(int) + 1
+        b_r = np.minimum(b_r, np.asarray(self.grid_size))
+        t_l = np.clip(t_l, 0, None)
+        t_l_r = t_l / (np.asarray(self.grid_size) - 1)
+        b_r_r = (b_r - 1) / (np.asarray(self.grid_size) - 1)
+        correct_aabb = np.stack([
+            (1 - t_l_r) * aabb[0] + t_l_r * aabb[1],
+            (1 - b_r_r) * aabb[0] + b_r_r * aabb[1],
+        ])
+        if np.array_equal(correct_aabb, aabb):
+            return self
+        new_size = b_r - t_l
+        return self.replace(
+            density_rf=shrink_factor_grid(self.density_rf, t_l, b_r),
+            app_rf=shrink_factor_grid(self.app_rf, t_l, b_r),
+            aabb=jnp.asarray(correct_aabb, dtype=jnp.float32),
+            grid_size=tuple(int(s) for s in new_size),
+        )
+
+
+def init_tensorvm_split(
+    key,
+    aabb,
+    density_n_comp=16,
+    appearance_n_comp=24,
+    app_dim=24,
+    grid_size=None,
+    N_voxel_init=128 ** 3,
+    N_voxel_final=300 ** 3,
+    upsamp_list=(500, 1000, 2000, 3000, 4000, 5500, 7000),
+    init_mode="rand",
+    d_init_val=0.1,
+    app_init_val=0.1,
+    **kwargs,
+):
+    """Build a TensorVMSplit (reference TensorVMSplit.__init__ +
+    TensorVoxelBase.__init__, tensor_base.py:171-231)."""
+    from ..utils import n_to_reso
+
+    aabb = jnp.asarray(aabb, dtype=jnp.float32)
+    if grid_size is None:
+        grid_size = n_to_reso(N_voxel_init, np.asarray(aabb))
+    gsize = int(grid_size[0])
+    kd, ka, kb, kdb = jax.random.split(key, 4)
+    density_rf = init_factor_grid(kd, gsize, density_n_comp, init_mode, d_init_val)
+    app_rf = init_factor_grid(ka, gsize, appearance_n_comp, init_mode, app_init_val)
+    # torch Linear default init, no bias
+    bound_b = 1.0 / math.sqrt(3 * appearance_n_comp)
+    basis_mat = jax.random.uniform(
+        kb, (3 * appearance_n_comp, app_dim), minval=-bound_b, maxval=bound_b)
+    bound_d = 1.0 / math.sqrt(3 * density_n_comp)
+    dbasis_mat = jax.random.uniform(
+        kdb, (3 * density_n_comp, 1), minval=-bound_d, maxval=bound_d)
+
+    n_voxel_list = tuple(
+        int(round(v))
+        for v in (np.round(np.linspace(N_voxel_init ** (1 / 3),
+                                       N_voxel_final ** (1 / 3),
+                                       len(upsamp_list) + 1) ** 3)).tolist()[1:]
+    )
+    return TensorVMSplit(
+        density_rf=density_rf,
+        app_rf=app_rf,
+        basis_mat=basis_mat,
+        dbasis_mat=dbasis_mat,
+        aabb=aabb,
+        app_dim=app_dim,
+        grid_size=tuple(int(g) for g in grid_size),
+        n_voxel_list=n_voxel_list,
+        upsamp_list=tuple(upsamp_list),
+        **kwargs,
+    )

@@ -1,0 +1,199 @@
+"""Bilinear grid sampling on TPU (gather-based, XLA-fusable).
+
+Replaces torch ``F.grid_sample`` with ``align_corners=True`` / zeros padding
+(the convention used throughout the reference: fields/tensoRF.py:44-46,
+modules/grid_sample3d.py, modules/grid_sample_Cinf.py). Coordinates follow the
+torch convention: last axis is (x, y[, z]) where x indexes the *last* array
+dimension, in [-1, 1].
+
+The reference's smoothed-coordinate-gradient sampler (grid_sample_Cinf.py:
+83-191) hand-writes a double-backward that samples Gaussian-blurred
+central-difference-filtered planes. Here the same math is expressed
+*forward*: ``derivative_planes`` pre-convolves the feature planes once per
+step, and normals are computed by directly sampling those planes -- plain JAX
+autodiff then handles all higher-order terms. No custom VJP machinery needed.
+"""
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _unnormalize(coord, size):
+    """[-1,1] -> [0, size-1] with align_corners=True."""
+    return (coord + 1.0) * 0.5 * (size - 1)
+
+
+def grid_sample_1d(line, coords):
+    """line: (C, L); coords: (..., ) in [-1,1] -> (..., C)."""
+    C, L = line.shape
+    x = _unnormalize(coords, L)
+    x0 = jnp.floor(x)
+    w1 = x - x0
+    i0 = x0.astype(jnp.int32)
+    i1 = i0 + 1
+    v0 = jnp.where((i0 >= 0) & (i0 <= L - 1), 1.0, 0.0)
+    v1 = jnp.where((i1 >= 0) & (i1 <= L - 1), 1.0, 0.0)
+    g0 = jnp.take(line, jnp.clip(i0, 0, L - 1), axis=1)  # (C, ...)
+    g1 = jnp.take(line, jnp.clip(i1, 0, L - 1), axis=1)
+    out = g0 * (v0 * (1 - w1)) + g1 * (v1 * w1)
+    return jnp.moveaxis(out, 0, -1)
+
+
+def grid_sample_2d(plane, coords):
+    """plane: (C, H, W); coords: (..., 2) as (x, y) in [-1,1] -> (..., C)."""
+    C, H, W = plane.shape
+    x = _unnormalize(coords[..., 0], W)
+    y = _unnormalize(coords[..., 1], H)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    ix0 = x0.astype(jnp.int32)
+    iy0 = y0.astype(jnp.int32)
+
+    flat = plane.reshape(C, H * W)
+    out = 0.0
+    for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        ix = ix0 + dx
+        iy = iy0 + dy
+        w = (wx if dx else (1 - wx)) * (wy if dy else (1 - wy))
+        valid = (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
+        idx = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
+        g = jnp.take(flat, idx, axis=1)  # (C, ...)
+        out = out + g * jnp.where(valid, w, 0.0)
+    return jnp.moveaxis(out, 0, -1)
+
+
+def grid_sample_3d(vol, coords):
+    """vol: (C, D, H, W); coords: (..., 3) as (x, y, z) in [-1,1] -> (..., C).
+
+    torch convention: x indexes W, y indexes H, z indexes D.
+    """
+    C, D, H, W = vol.shape
+    x = _unnormalize(coords[..., 0], W)
+    y = _unnormalize(coords[..., 1], H)
+    z = _unnormalize(coords[..., 2], D)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    z0 = jnp.floor(z)
+    wx, wy, wz = x - x0, y - y0, z - z0
+    ix0 = x0.astype(jnp.int32)
+    iy0 = y0.astype(jnp.int32)
+    iz0 = z0.astype(jnp.int32)
+
+    flat = vol.reshape(C, D * H * W)
+    out = 0.0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                ix, iy, iz = ix0 + dx, iy0 + dy, iz0 + dz
+                w = ((wx if dx else (1 - wx))
+                     * (wy if dy else (1 - wy))
+                     * (wz if dz else (1 - wz)))
+                valid = ((ix >= 0) & (ix <= W - 1)
+                         & (iy >= 0) & (iy <= H - 1)
+                         & (iz >= 0) & (iz <= D - 1))
+                idx = ((jnp.clip(iz, 0, D - 1) * H + jnp.clip(iy, 0, H - 1)) * W
+                       + jnp.clip(ix, 0, W - 1))
+                g = jnp.take(flat, idx, axis=1)
+                out = out + g * jnp.where(valid, w, 0.0)
+    return jnp.moveaxis(out, 0, -1)
+
+
+def resize_align_corners_2d(plane, new_hw):
+    """Bilinear resize of (C, H, W) -> (C, H', W') with align_corners=True.
+
+    Equivalent to torch F.interpolate(mode='bilinear', align_corners=True),
+    used for the voxel-grid upsample schedule (fields/tensoRF.py:207-227).
+    """
+    Hn, Wn = new_hw
+    ys = jnp.linspace(-1.0, 1.0, Hn)
+    xs = jnp.linspace(-1.0, 1.0, Wn)
+    gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
+    coords = jnp.stack([gx, gy], axis=-1)  # (Hn, Wn, 2)
+    out = grid_sample_2d(plane, coords)  # (Hn, Wn, C)
+    return jnp.moveaxis(out, -1, 0)
+
+
+def resize_align_corners_1d(line, new_l):
+    xs = jnp.linspace(-1.0, 1.0, new_l)
+    out = grid_sample_1d(line, xs)  # (new_l, C)
+    return jnp.moveaxis(out, -1, 0)
+
+
+def _gaussian_1d(kernlen: int, std: float):
+    n = np.arange(kernlen) - (kernlen - 1.0) / 2.0
+    w = np.exp(-(n ** 2) / (2 * std * std))
+    return w
+
+
+def smoothed_derivative_kernels_2d(smoothing: float = 1.0):
+    """The grid_sample_Cinf filter bank for 2D planes.
+
+    Returns (kx, ky): each (k, k) numpy kernels = gaussian blur composed with
+    central difference along one axis (grid_sample_Cinf.py:117-139 semantics;
+    f_edge = -[1,0,-1]/2, gaussian std=smoothing, kernlen 3, combined via
+    correlation with an extra sign flip -- net effect: d/dcoord in the
+    align_corners grid parameterization, smoothed).
+    """
+    f_blur = np.array([0.0, 1.0, 0.0])
+    f_edge = -np.array([1.0, 0.0, -1.0]) / 2.0
+    # derivative along x (last axis): rows blur, cols edge
+    dx = np.outer(f_blur, f_edge)  # (3, 3): [row, col]
+    dy = np.outer(f_edge, f_blur)
+    g1 = _gaussian_1d(3, smoothing + 1e-8)
+    g2 = np.outer(g1, g1)
+    g2 = g2 / g2.sum()
+    # full correlation of blur with edge (3 + 3 - 1 = 5 taps), sign per
+    # reference combine_kernels2d (conv of the flipped kernel with a minus,
+    # equal to correlation)
+    from scipy.signal import convolve2d
+
+    kx = convolve2d(g2, dx, mode="full")
+    ky = convolve2d(g2, dy, mode="full")
+    return kx, ky
+
+
+def conv2d_same(plane, kern):
+    """Depthwise 'same' 2D correlation of (C, H, W) with (k, k)."""
+    C, H, W = plane.shape
+    k = kern.shape[0]
+    kern = jnp.asarray(kern, dtype=plane.dtype).reshape(1, 1, k, k)
+    out = jax.lax.conv_general_dilated(
+        plane[:, None],  # (C, 1, H, W)
+        kern,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out[:, 0]
+
+
+def conv1d_same(line, kern):
+    C, L = line.shape
+    k = kern.shape[0]
+    kern = jnp.asarray(kern, dtype=line.dtype).reshape(1, 1, k)
+    out = jax.lax.conv_general_dilated(
+        line[:, None],
+        kern,
+        window_strides=(1,),
+        padding="SAME",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return out[:, 0]
+
+
+def max_pool_3d(vol, ks: int = 3):
+    """3D max pool, stride 1, 'same' padding (alphagrid.py:256-258)."""
+    pad = ks // 2
+    return jax.lax.reduce_window(
+        vol,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(ks, ks, ks),
+        window_strides=(1, 1, 1),
+        padding=((pad, pad), (pad, pad), (pad, pad)),
+    )

@@ -1,0 +1,23 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+This is the TPU-native substitute for multi-chip tests without a cluster
+(SURVEY.md section 4): XLA exposes 8 host devices so jax.sharding code paths
+compile and execute exactly as they would on an 8-chip slice.
+
+The ambient environment may register a remote-TPU PJRT plugin (axon) via
+sitecustomize before this file runs, so the env-var route is not enough;
+``jax.config.update('jax_platforms', 'cpu')`` overrides backend selection at
+runtime and must run before any JAX computation.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
