@@ -1,0 +1,212 @@
+"""Appearance / material / normal MLP heads.
+
+Functional JAX ports of the reference ``modules/render_modules.py``:
+- MLPRender_Fea (:201-235): TensoRF view-dependent color head
+- RandHydraMLPDiffuse (:447-574): the NMF default material head with separate
+  diffuse/tint/f0/roughness MLPs, calibration biases, and train-time noise
+- MLPNormal (:826-892): predicted normals with IPE and near-zero final init
+- PE / IPE encoders (:90-114)
+"""
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops import safemath
+from ..ops.safemath import integrated_pos_enc, normalize, positional_encoding
+from .mlp import MLP, create_mlp, scale_final_layer
+
+
+@struct.dataclass
+class PE:
+    max_degree: int = struct.field(pytree_node=False, default=8)
+    in_dim: int = struct.field(pytree_node=False, default=3)
+
+    def dim(self):
+        return 2 * self.in_dim * self.max_degree
+
+    def __call__(self, x, roughness=None):
+        return positional_encoding(x, self.max_degree)
+
+
+@struct.dataclass
+class IPE:
+    max_degree: int = struct.field(pytree_node=False, default=8)
+    in_dim: int = struct.field(pytree_node=False, default=3)
+
+    def dim(self):
+        return 2 * self.in_dim * self.max_degree
+
+    def __call__(self, viewdirs, roughness):
+        size = jnp.broadcast_to(roughness.reshape(-1, 1), viewdirs.shape)
+        return integrated_pos_enc((viewdirs, size), 0, self.max_degree)
+
+
+@struct.dataclass
+class MLPRenderFea:
+    """View-dependent color head (MLPRender_Fea)."""
+    mlp: MLP
+    viewpe: int = struct.field(pytree_node=False, default=6)
+    feape: int = struct.field(pytree_node=False, default=6)
+    lr: float = struct.field(pytree_node=False, default=1e-3)
+
+    def __call__(self, pts, viewdirs, features, **kwargs):
+        indata = [features, viewdirs]
+        if self.feape > 0:
+            indata.append(positional_encoding(features, self.feape))
+        if self.viewpe > 0:
+            indata.append(positional_encoding(viewdirs, self.viewpe))
+        return jax.nn.sigmoid(self.mlp(jnp.concatenate(indata, axis=-1)))
+
+
+def init_mlp_render_fea(key, in_channels, viewpe=6, feape=6, featureC=128,
+                        lr=1e-3, **_):
+    in_mlpC = 2 * viewpe * 3 + 2 * feape * in_channels + 3 + in_channels
+    mlp = create_mlp(key, in_mlpC, 3, num_layers=3, hidden_w=featureC)
+    # final bias zero (reference render_modules.py:220)
+    layers = list(mlp.layers)
+    layers[-1] = {"w": layers[-1]["w"], "b": jnp.zeros_like(layers[-1]["b"])}
+    return MLPRenderFea(mlp=mlp.replace(layers=tuple(layers)),
+                        viewpe=viewpe, feape=feape, lr=lr)
+
+
+@struct.dataclass
+class RandHydraMLPDiffuse:
+    """NMF material head: albedo/tint/f0/roughness (render_modules.py:447)."""
+    diffuse_mlp: MLP
+    tint_mlp: MLP
+    f0_mlp: MLP
+    roughness_mlp: MLP
+    # calibration biases live as (non-trainable) leaves so calibrate() can
+    # update them without recompilation
+    diffuse_bias: Any
+    roughness_bias: Any
+    tint_bias: float = struct.field(pytree_node=False, default=0.0)
+    f0_bias: float = struct.field(pytree_node=False, default=0.0)
+    diffuse_mul: float = struct.field(pytree_node=False, default=1.0)
+    pospe: int = struct.field(pytree_node=False, default=-1)
+    feape: int = struct.field(pytree_node=False, default=0)
+    start_roughness: float = struct.field(pytree_node=False, default=0.35)
+    lr: float = struct.field(pytree_node=False, default=1e-3)
+
+    def _inputs(self, pts, features):
+        size = jnp.broadcast_to(pts[..., 3:4], pts[..., :3].shape)
+        p3 = pts[..., :3]
+        indata = []
+        if self.pospe >= 0:
+            indata.append(p3)
+        if self.pospe > 0:
+            indata.append(integrated_pos_enc((p3, size), 0, self.pospe))
+        if self.feape >= 0:
+            indata.append(features)
+        if self.feape > 0:
+            indata.append(positional_encoding(features, self.feape))
+        return jnp.concatenate(indata, axis=-1)
+
+    def __call__(self, pts, viewdirs, features, std=0.0, key=None, **kwargs):
+        mlp_in = self._inputs(pts, features)
+        diffuse = jax.nn.sigmoid(
+            self.diffuse_mul * self.diffuse_mlp(mlp_in) + self.diffuse_bias)
+        r = jax.nn.sigmoid(self.roughness_mlp(mlp_in) + self.roughness_bias) / 2
+        if std > 0 and key is not None:
+            kd, kr = jax.random.split(key)
+            diffuse = jnp.clip(
+                diffuse + jax.random.normal(kd, diffuse.shape) * std, 0, 1)
+            r = r + jax.random.normal(kr, r.shape) * std / 2
+        r = jnp.clip(r, 1e-2, 1.0)
+        tint = jax.nn.sigmoid(self.tint_mlp(mlp_in) + self.tint_bias)
+        f0 = jax.nn.sigmoid(self.f0_mlp(mlp_in) + self.f0_bias)
+        matprop = {"diffuse": diffuse, "r1": r[..., 0:1], "r2": r[..., 1:2],
+                   "f0": f0, "tint": tint}
+        return diffuse, tint, matprop
+
+    def calibrate(self, mean_brightness, conserve_energy, pts, viewdirs,
+                  features):
+        """Shift diffuse/roughness biases to hit target initial brightness
+        (render_modules.py:505-517). Returns an updated module."""
+        diffuse, tint, extra = self(pts, viewdirs, features)
+        diffuse_v = float(safemath.inv_sigmoid(diffuse).mean())
+        v = (0.25 if not conserve_energy else 0.5) / float(mean_brightness)
+        v = min(max(v, 1e-4), 1 - 1e-4)
+        new_diffuse_bias = self.diffuse_bias + (
+            math.log(v / (1 - v)) - diffuse_v)
+        roughness = (extra["r1"] + extra["r2"]) / 2 / 2
+        roughness_v = float(safemath.inv_sigmoid(roughness).mean())
+        sr = self.start_roughness
+        new_roughness_bias = self.roughness_bias + (
+            math.log(sr / (1 - sr)) - roughness_v)
+        return self.replace(diffuse_bias=new_diffuse_bias,
+                            roughness_bias=new_roughness_bias)
+
+
+def init_rand_hydra_diffuse(key, in_channels, pospe=-1, feape=0, hidden_w=64,
+                            num_layers=1, initializer="xavier_sigmoid",
+                            lr=1e-3, start_roughness=0.35, tint_bias=0.0,
+                            diffuse_bias=-0.619, diffuse_mul=1.5,
+                            roughness_bias=-1.0, f0_bias=0.0,
+                            roughness_cfg=None, **_):
+    in_mlpC = (2 * max(feape, 0) * in_channels + in_channels) if feape >= 0 else 0
+    if pospe >= 0:
+        in_mlpC += 2 * pospe * 3 + 3
+    keys = jax.random.split(key, 4)
+    rc = roughness_cfg or {"hidden_w": hidden_w, "num_layers": num_layers}
+    mk = lambda k, out, cfg: create_mlp(
+        k, in_mlpC, out, num_layers=cfg["num_layers"],
+        hidden_w=cfg["hidden_w"], initializer=initializer)
+    cfg = {"hidden_w": hidden_w, "num_layers": num_layers}
+    return RandHydraMLPDiffuse(
+        diffuse_mlp=mk(keys[0], 3, cfg),
+        tint_mlp=mk(keys[1], 3, cfg),
+        f0_mlp=mk(keys[2], 3, cfg),
+        roughness_mlp=create_mlp(keys[3], in_mlpC, 2,
+                                 num_layers=rc["num_layers"],
+                                 hidden_w=rc["hidden_w"],
+                                 initializer=initializer),
+        diffuse_bias=jnp.asarray(diffuse_bias, jnp.float32),
+        roughness_bias=jnp.asarray(roughness_bias, jnp.float32),
+        tint_bias=tint_bias, f0_bias=f0_bias, diffuse_mul=diffuse_mul,
+        pospe=pospe, feape=feape, start_roughness=start_roughness, lr=lr)
+
+
+@struct.dataclass
+class MLPNormal:
+    """Predicted-normal head (render_modules.py:826-892)."""
+    mlp: MLP
+    pospe: int = struct.field(pytree_node=False, default=12)
+    feape: int = struct.field(pytree_node=False, default=-1)
+    size_multi: float = struct.field(pytree_node=False, default=2.5e-3)
+    lr: float = struct.field(pytree_node=False, default=1e-3)
+
+    def __call__(self, pts, features, geo_norms=None, **kwargs):
+        size = jnp.broadcast_to(pts[..., 3:4], pts[..., :3].shape)
+        p3 = pts[..., :3]
+        indata = []
+        if self.pospe >= 0:
+            indata.append(p3)
+        if self.feape >= 0:
+            indata.append(features)
+        if self.pospe > 0:
+            indata.append(
+                integrated_pos_enc((p3, self.size_multi * size), 0, self.pospe))
+        if self.feape > 0:
+            indata.append(positional_encoding(features, self.feape))
+        out = self.mlp(jnp.concatenate(indata, axis=-1))
+        return normalize(out)
+
+
+def init_mlp_normal(key, in_channels, pospe=12, feape=-1, hidden_w=128,
+                    num_layers=4, initializer="kaiming", size_multi=2.5e-3,
+                    lr=1e-3, **_):
+    in_mlpC = 0
+    if pospe >= 0:
+        in_mlpC += 2 * pospe * 3 + 3
+    if feape >= 0:
+        in_mlpC += 2 * max(feape, 0) * in_channels + in_channels
+    k1, k2 = jax.random.split(key)
+    mlp = create_mlp(k1, in_mlpC, 3, num_layers=num_layers, hidden_w=hidden_w,
+                     initializer=initializer, bias=False)
+    mlp = scale_final_layer(mlp, uniform_range=1e-5, key=k2)
+    return MLPNormal(mlp=mlp, pospe=pospe, feape=feape,
+                     size_multi=size_multi, lr=lr)
