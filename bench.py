@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark: training-step ray throughput of the flagship microfacet model.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline constant: the reference (half-potato/nmf) publishes no numbers
+(BASELINE.md); its CUDA training loop on an A100 consumes ~4096-8000 rays per
+iteration at roughly ~1 it/s for the full NMF model (hours for 30k iters), so
+we take 4000 rays/s as the A100 reference-point and report the ratio.
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import numpy as np
+
+REFERENCE_A100_RAYS_PER_SEC = 4000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_nmf
+    from nmf_tpu import trainer
+
+    key = jax.random.PRNGKey(0)
+    # flagship-scale single-chip config
+    nmf, cfg = _build_nmf(key, grid=128, bg_res=512, k_spr=128, recur_k=64,
+                          brdf_budget=(32768, 8192), retrace=1024)
+
+    opt_cfg = trainer.OptimConfig(n_iters=30000)
+    tx = trainer.make_optimizer(nmf, opt_cfg)
+    opt_state = tx.init(nmf)
+    step = trainer.make_train_step(tx)
+    weights = trainer.LossWeights()
+
+    B = 4096
+    rng = np.random.default_rng(0)
+    origins = np.tile(np.array([[0.0, 0.0, -4.0]], np.float32), (B, 1))
+    dirs = rng.normal(size=(B, 3)).astype(np.float32)
+    dirs[:, 2] = np.abs(dirs[:, 2]) + 1.0
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.concatenate([origins, dirs], -1))
+    rgbs = jnp.asarray(rng.uniform(size=(B, 3)).astype(np.float32))
+    bg_col = jnp.ones((3,))
+
+    # warmup / compile
+    key, sk = jax.random.split(key)
+    nmf, opt_state, m = step(nmf, opt_state, rays, rgbs, bg_col, sk, weights)
+    jax.block_until_ready(m["loss"])
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        key, sk = jax.random.split(key)
+        nmf, opt_state, m = step(nmf, opt_state, rays, rgbs, bg_col, sk,
+                                 weights)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = B * n_iters / dt
+    print(json.dumps({
+        "metric": "train_rays_per_sec_microfacet",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s/chip",
+        "vs_baseline": round(rays_per_sec / REFERENCE_A100_RAYS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

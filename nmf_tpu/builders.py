@@ -1,0 +1,208 @@
+"""Instantiate the composed model from a hydra-style config dict.
+
+The reference builds everything with hydra.utils.instantiate over
+``_target_`` strings (train.py:239-241, tensor_nerf.py:68-74). This registry
+maps those same target names onto this package's functional builders, so
+reference configs translate key-for-key.
+"""
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fields.tensorf import init_tensorvm_split
+from .models.microfacet import init_microfacet
+from .models.tensorf import init_tensorf_shade
+from .modules.bg import init_integral_equirect
+from .modules.brdf import init_mlp_brdf, init_specular
+from .modules.brdf_samplers import CosineLobeSampler, GGXSampler
+from .modules.ish import FullISH, ListISH
+from .modules.render_modules import (IPE, PE, init_mlp_normal,
+                                     init_mlp_render_fea,
+                                     init_rand_hydra_diffuse)
+from .render import NMF
+from .samplers.alphagrid import AlphaGridSampler
+
+
+def _target(cfg):
+    return (cfg or {}).get("_target_", "")
+
+
+def _clean(cfg: Dict) -> Dict:
+    return {k: v for k, v in (cfg or {}).items()
+            if not k.startswith("_")}
+
+
+def build_encoder(cfg):
+    if not cfg:
+        return None
+    t = _target(cfg)
+    kw = _clean(cfg)
+    if t.endswith("ListISH"):
+        return ListISH(degs=tuple(kw.get("degs", (0, 1, 2, 4))))
+    if t.endswith("FullISH"):
+        return FullISH(max_degree=kw.get("max_degree", 1))
+    if t.endswith("PE"):
+        return PE(max_degree=kw.get("max_degree", 8))
+    if t.endswith("IPE"):
+        return IPE(max_degree=kw.get("max_degree", 8))
+    raise ValueError(f"unknown encoder target {t}")
+
+
+def build_brdf_sampler(cfg):
+    t = _target(cfg)
+    if t.endswith("GGXSampler") or not t:
+        return GGXSampler()
+    if t.endswith("CosineLobeSampler"):
+        return CosineLobeSampler()
+    raise ValueError(f"unknown brdf sampler {t}")
+
+
+def build_field(key, cfg, aabb, grid_size=None):
+    t = _target(cfg)
+    kw = _clean(cfg)
+    kw.pop("distance_scale", None)
+    if grid_size is not None:
+        kw["grid_size"] = grid_size
+    if t.endswith("TensorVMSplit") or not t:
+        allowed = {
+            "density_n_comp", "appearance_n_comp", "app_dim", "grid_size",
+            "N_voxel_init", "N_voxel_final", "upsamp_list", "init_mode",
+            "d_init_val", "app_init_val", "activation", "density_shift",
+            "contract_space", "dbasis", "step_ratio", "density_res_multi",
+            "smoothing", "numer_grad", "interp_mode", "lr", "lr_net",
+            "num_pretrain", "calibrate",
+        }
+        kw2 = {k: v for k, v in kw.items() if k in allowed}
+        if "upsamp_list" in kw2:
+            kw2["upsamp_list"] = tuple(kw2["upsamp_list"])
+        rf = init_tensorvm_split(key, aabb, **kw2)
+        ds = cfg.get("distance_scale")
+        if ds is not None:
+            rf = rf.replace(distance_scale=float(ds))
+        return rf
+    raise ValueError(f"unknown field target {t}")
+
+
+def build_model(key, cfg, app_dim):
+    t = _target(cfg)
+    kw = _clean(cfg)
+    if t.endswith("Microfacet"):
+        k1, k2 = jax.random.split(key)
+        dm_cfg = kw.pop("diffuse_module", None) or {}
+        brdf_cfg = kw.pop("brdf", None) or {}
+        sampler_cfg = kw.pop("brdf_sampler", None) or {}
+        kw.pop("visibility_module", None)
+        kw.pop("bright_sampler", None)
+        dm = init_rand_hydra_diffuse(k1, app_dim, **_clean(dm_cfg))
+        brdf_kw = _clean(brdf_cfg)
+        brdf_kw["h_encoder"] = build_encoder(brdf_kw.pop("h_encoder", None))
+        brdf_kw["d_encoder"] = build_encoder(brdf_kw.pop("d_encoder", None))
+        if _target(brdf_cfg).endswith("Specular"):
+            brdf_kw.pop("h_encoder", None)
+            brdf_kw.pop("d_encoder", None)
+            brdf = init_specular(k2, app_dim, **brdf_kw)
+        else:
+            brdf = init_mlp_brdf(k2, app_dim, **brdf_kw)
+        bs = build_brdf_sampler(sampler_cfg)
+        # translate reference budget names to static TPU budgets when given
+        kw.pop("max_brdf_rays", None)
+        kw.pop("target_num_samples", None)
+        mr = kw.pop("max_retrace_rays", None)
+        if mr is not None:
+            kw["max_retrace_rays"] = tuple(
+                int(2 ** math.ceil(math.log2(max(m, 1)))) for m in mr)
+        if "brdf_ray_budget" in kw:
+            kw["brdf_ray_budget"] = tuple(kw["brdf_ray_budget"])
+        return init_microfacet(key, app_dim, diffuse_module=dm, brdf=brdf,
+                               brdf_sampler=bs, **kw)
+    if t.endswith("RefNeRF"):
+        from .models.refnerf import init_refnerf
+
+        k1, k2 = jax.random.split(key)
+        dm_cfg = kw.pop("diffuse_module", None) or {}
+        ref_cfg = _clean(kw.pop("ref_module", None) or {})
+        if "ref_encoder" in ref_cfg:
+            ref_cfg["ref_encoder"] = build_encoder(ref_cfg["ref_encoder"])
+        dm = init_rand_hydra_diffuse(k1, app_dim, **_clean(dm_cfg))
+        return init_refnerf(k2, app_dim, diffuse_module=dm,
+                            ref_module_cfg=ref_cfg)
+    if t.endswith("DualModel"):
+        from .models.refnerf import DualModel
+
+        k1, k2 = jax.random.split(key)
+        m1 = build_model(k1, kw.pop("model1"), app_dim)
+        m2 = build_model(k2, kw.pop("model2"), app_dim)
+        return DualModel(model1=m1, model2=m2,
+                         switch_iter=kw.get("switch_iter", 0))
+    if t.endswith("TensoRF") or not t:
+        dm_cfg = kw.pop("diffuse_module", None) or {}
+        return init_tensorf_shade(key, app_dim, **_clean(dm_cfg))
+    raise ValueError(f"unknown model target {t}")
+
+
+def build_bg(key, cfg):
+    if not cfg:
+        return None
+    t = _target(cfg)
+    if t.endswith("IntegralEquirect"):
+        return init_integral_equirect(key, **_clean(cfg))
+    raise ValueError(f"unknown bg target {t}")
+
+
+def build_normal_module(key, cfg, app_dim):
+    if not cfg:
+        return None
+    t = _target(cfg)
+    if t.endswith("MLPNormal"):
+        return init_mlp_normal(key, app_dim, **_clean(cfg))
+    raise ValueError(f"unknown normal module {t}")
+
+
+def build_sampler(cfg, aabb, near_far):
+    kw = _clean(cfg)
+    allowed = {"enable_alpha_mask", "update_list", "max_samples",
+               "multiplier", "alphaMask_thres"}
+    kw2 = {k: v for k, v in kw.items() if k in allowed}
+    if "update_list" in kw2:
+        kw2["update_list"] = tuple(kw2["update_list"])
+    if "alphaMask_thres" in kw2:
+        kw2["alpha_mask_thres"] = kw2.pop("alphaMask_thres")
+    return AlphaGridSampler(alpha_mask=None, aabb=jnp.asarray(aabb),
+                            near_far=tuple(near_far), **kw2)
+
+
+def build_nmf(key, arch_cfg: Dict, aabb, near_far, grid_size=None) -> NMF:
+    """Build the full composed model from cfg.model.arch (the analogue of
+    hydra instantiate(args.model.arch)(aabb=..., near_far=...))."""
+    keys = jax.random.split(key, 5)
+    rf = build_field(keys[0], arch_cfg.get("rf", {}), aabb,
+                     grid_size=grid_size)
+    sampler = build_sampler(arch_cfg.get("sampler", {}), aabb, near_far)
+    sampler = sampler.update(rf, init=True)
+    model = build_model(keys[1], arch_cfg.get("model", {}), rf.app_dim)
+    bg = build_bg(keys[2], arch_cfg.get("bg_module"))
+    normal_module = build_normal_module(keys[3],
+                                        arch_cfg.get("normal_module"),
+                                        rf.app_dim)
+
+    tm_cfg = arch_cfg.get("tonemap") or {}
+    tm_t = _target(tm_cfg)
+    tonemap = ("srgb" if "SRGB" in tm_t or not tm_t
+               else "hdr" if "HDR" in tm_t
+               else "linear" if "Linear" in tm_t else "srgb")
+
+    allowed = {"recur_stepmul", "recur_alpha_thres", "detach_inter", "hdr",
+               "use_predicted_normals", "align_pred_norms",
+               "orient_world_normals", "geonorm_iters",
+               "geonorm_interp_iters", "eval_batch_size", "lr_scale",
+               "max_samples_per_ray", "recur_samples_per_ray"}
+    top = {k: v for k, v in arch_cfg.items() if k in allowed}
+    use_pred = top.pop("use_predicted_normals", False) and normal_module is not None
+    return NMF(rf=rf, sampler=sampler, model=model, bg_module=bg,
+               normal_module=normal_module, tonemap=tonemap,
+               use_predicted_normals=use_pred,
+               predicted_normal_lambda=1.0 if use_pred else 0.0,
+               **top)

@@ -55,8 +55,28 @@ class FactorGrid:
     def dim(self) -> int:
         return 3 * self.n_comp
 
+    def _uniform_shapes(self) -> bool:
+        return (len({p.shape for p in self.planes}) == 1
+                and len({l.shape for l in self.lines}) == 1)
+
     def query(self, coords):
-        """coords: (..., 3) normalized in [-1,1] -> list of 3 (..., C)."""
+        """coords: (..., 3) normalized in [-1,1] -> list of 3 (..., C).
+
+        When all three planes share a shape (cubic grids, the common case)
+        the three queries are batched into a single gather via vmap --
+        one-third the kernel count of the naive per-plane loop.
+        """
+        if self._uniform_shapes():
+            pcoords = jnp.stack([
+                jnp.stack([coords[..., m0], coords[..., m1]], axis=-1)
+                for (m0, m1) in MAT_MODE])  # (3, ..., 2)
+            lcoords = jnp.stack([coords[..., v] for v in VEC_MODE])
+            pstack = jnp.stack(self.planes)  # (3, C, H, W)
+            lstack = jnp.stack(self.lines)   # (3, C, L)
+            pc = jax.vmap(grid_sample_2d)(pstack, pcoords)  # (3, ..., C)
+            lc = jax.vmap(grid_sample_1d)(lstack, lcoords)
+            prod = pc * lc
+            return [prod[i] for i in range(3)]
         feats = []
         for i in range(3):
             m0, m1 = MAT_MODE[i]
@@ -272,9 +292,10 @@ class TensorVMSplit:
 
     def _dkernels(self):
         kx, ky = smoothed_derivative_kernels_2d(self.smoothing)
-        # 1D: blur (delta here, matching f_blur=[0,1,0]) * central difference
-        k1 = -np.array([1.0, 0.0, -1.0]) / 2.0 * -1.0  # sign per Cinf SIGN=-1
-        k1 = np.convolve(np.array([0.0, 1.0, 0.0]), -np.array([1.0, 0.0, -1.0]) / 2.0)
+        # 1D line derivative: central difference (correlation kernel
+        # [-1/2, 0, 1/2] gives d/d(index); validated by the axis-oracle
+        # normal tests)
+        k1 = np.array([-0.5, 0.0, 0.5])
         return jnp.asarray(kx), jnp.asarray(ky), jnp.asarray(k1)
 
     def compute_normals(self, xyz):

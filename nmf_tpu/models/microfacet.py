@@ -1,0 +1,285 @@
+"""Neural Microfacet shading model, TPU-native.
+
+Re-design of the reference ``models/microfacet.py`` (Microfacet :12-673) and
+``modules/pt_selectors.py`` (select_bounces :5-60) around static shapes:
+
+Reference (CUDA) pipeline              ->  TPU pipeline (this file)
+--------------------------------------     -----------------------------------
+(M', S) ray_mask w/ data-dependent S       flat (R,) bounce-ray buffer with a
+via torch.where boolean compaction         compile-time budget R per recursion
+                                           level (ops.masked.flat_compact)
+scatter_add row_mask_sum per sample        segment_sum over parent sample ids
+torch recursion via closure                depth-unrolled callback; top-T
+(tensor_nerf.py:291-317) with              retrace rays gathered into a fixed
+data-dependent retrace count               (T, 6) buffer by ranked contribution
+Sobol draws (base.py)                      Hammersley + toroidal shift
+
+The physics is identical: GGX VNDF importance sampling, learned residual
+BRDF, SH-convolved irradiance for diffuse, fresnel mixing
+(microfacet.py:299-318, 461-472, 565-669).
+"""
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..modules.brdf import MLPBRDF
+from ..modules.brdf_samplers import GGXSampler, hammersley_draw
+from ..modules.render_modules import RandHydraMLPDiffuse
+from ..ops import sh
+from ..ops.masked import segment_sum_to
+from ..ops.safemath import normalize
+
+EPS = float(jnp.finfo(jnp.float32).eps)
+
+
+@struct.dataclass
+class Microfacet:
+    diffuse_module: RandHydraMLPDiffuse
+    brdf: MLPBRDF
+    brdf_sampler: GGXSampler
+    # decaying schedule scalars (leaves; frozen in the optimizer)
+    min_rough: Any = 0.0
+    std: Any = 0.0
+
+    # static configuration (configs/model/microfacet_tensorf2.yaml)
+    anoise: float = struct.field(pytree_node=False, default=0.25)
+    rays_per_ray: int = struct.field(pytree_node=False, default=128)
+    test_rays_per_ray: int = struct.field(pytree_node=False, default=128)
+    # flat bounce-ray budget per recursion level (TPU redesign of
+    # max_brdf_rays=[650000, 450000]; sized per *batch* here)
+    brdf_ray_budget: Tuple[int, ...] = struct.field(
+        pytree_node=False, default=(65536, 16384))
+    # retrace-ray buffer size per level (max_retrace_rays=[1000])
+    max_retrace_rays: Tuple[int, ...] = struct.field(
+        pytree_node=False, default=(1024,))
+    conserve_energy: bool = struct.field(pytree_node=False, default=True)
+    no_emitters: bool = struct.field(pytree_node=False, default=True)
+    diffuse_mixing_mode: str = struct.field(
+        pytree_node=False, default="fresnel")
+    detach_N: bool = struct.field(pytree_node=False, default=False)
+    detach_N_iters: int = struct.field(pytree_node=False, default=0)
+    min_rough_decay: float = struct.field(pytree_node=False, default=0.999)
+    std_decay: float = struct.field(pytree_node=False, default=1.0)
+    std_decay_interval: int = struct.field(pytree_node=False, default=10)
+    percent_bright: float = struct.field(pytree_node=False, default=0.0)
+    cold_start_bg_iters: int = struct.field(pytree_node=False, default=0)
+    freeze: bool = struct.field(pytree_node=False, default=False)
+    russian_roulette: bool = struct.field(pytree_node=False, default=False)
+
+    def needs_normals(self, recur: int) -> bool:
+        return True
+
+    @property
+    def outputs(self):
+        return {"diffuse": 3, "roughness": 1, "tint": 3, "spec": 3,
+                "albedo": 3}
+
+    def check_schedule(self, iteration: int, batch_mul: int = 1):
+        new = self
+        if iteration % 10 == 0:
+            new = new.replace(min_rough=new.min_rough * self.min_rough_decay)
+        if iteration % self.std_decay_interval == 0:
+            new = new.replace(std=new.std * self.std_decay)
+        if self.detach_N and iteration > batch_mul * self.detach_N_iters:
+            new = new.replace(detach_N=False)
+            return new, True  # static flip -> recompile
+        return new, False
+
+    def update_n_samples(self, n_samples):
+        return self
+
+    def calibrate(self, key, xyz, feat, bg_brightness):
+        """Bias auto-tuning against background brightness
+        (microfacet.py:79-96). Host-side; returns an updated model."""
+        k1, k2 = jax.random.split(key)
+        viewdirs = normalize(jax.random.uniform(k1, (xyz.shape[0], 3)))
+        dm = self.diffuse_module.calibrate(
+            bg_brightness, self.conserve_energy, xyz, viewdirs, feat)
+        brdf = self.brdf.replace(
+            init_val=0.5 if self.conserve_energy else 0.25)
+        brdf = brdf.calibrate(k2, feat, bg_brightness)
+        return self.replace(diffuse_module=dm, brdf=brdf)
+
+    # ------------------------------------------------------------------
+    def shade(self, xyz, xyz_normed, app_features, viewdirs, normals,
+              weights, valid, B, render_reflection, bg_module, bg_cache,
+              is_train, recur, key):
+        """Flattened sample inputs of length M = B*K. Returns (rgb (M,3),
+        debug dict)."""
+        M = xyz.shape[0]
+        keys = jax.random.split(key, 5)
+
+        noise_app_features = app_features + jax.random.normal(
+            keys[0], app_features.shape) * self.anoise
+        std = self.std if is_train else 0.0
+        albedo, tint, matprop = self.diffuse_module(
+            xyz_normed, viewdirs, app_features, std=std, key=keys[1])
+
+        # --- SH-convolved irradiance for diffuse (microfacet.py:304-318) ---
+        if self.no_emitters and bg_module is not None:
+            if bg_cache is not None and "sh_conv_coeffs" in bg_cache:
+                conv_coeffs = bg_cache["sh_conv_coeffs"]
+            else:
+                _, conv_coeffs = bg_module.get_spherical_harmonics(
+                    100, cache=bg_cache)
+            conv_coeffs = jax.lax.stop_gradient(conv_coeffs)
+            evaled = sh.eval_sh_bases(conv_coeffs.shape[0], normals)
+            E = (conv_coeffs[None] * evaled[..., None]).sum(axis=1)
+            diffuse = albedo * E
+        else:
+            diffuse = albedo
+
+        rays_per_ray = self.rays_per_ray if is_train else self.test_rays_per_ray
+        budget = self.brdf_ray_budget[min(recur,
+                                          len(self.brdf_ray_budget) - 1)]
+
+        # --- bounce-ray allocation (pt_selectors.py:5-60, flattened) ---
+        w = jnp.where(valid, weights, 0.0)
+        pt_limit = w * rays_per_ray + jax.random.uniform(keys[2], w.shape) - 0.5
+        counts = jnp.clip(jnp.floor(pt_limit), 0, 400).astype(jnp.int32)
+        counts = jnp.where(valid, counts, 0)
+
+        starts = jnp.cumsum(counts) - counts
+        r_idx = jnp.arange(budget)
+        src = jnp.clip(
+            jnp.searchsorted(starts, r_idx, side="right").astype(jnp.int32) - 1,
+            0, M - 1)
+        total = jnp.minimum(counts.sum(), budget)
+        slot_valid = r_idx < total
+        within = (r_idx - starts[src]).astype(jnp.int32)
+        kept = jnp.minimum(jnp.maximum(
+            jnp.minimum(starts + counts, budget)
+            - jnp.minimum(starts, budget), 0), counts)  # rays kept per sample
+        ray_count = jnp.clip(kept.astype(jnp.float32), 1e-8)
+
+        # --- per-bounce-ray parent attributes ---
+        bV = -viewdirs[src]
+        bN = normals[src]
+        if self.detach_N:
+            bN = jax.lax.stop_gradient(bN)
+        bN = bN * jnp.sign((bV * bN).sum(-1, keepdims=True))
+        r1 = matprop["r1"][src, 0]
+        if is_train:
+            r1 = jnp.clip(r1, self.min_rough)
+        efeatures = noise_app_features[src]
+        exyz = xyz[src, :3]
+
+        u1, u2 = hammersley_draw(keys[3], within, counts[src], src)
+        L, basis, logD = self.brdf_sampler.sample(u1, u2, bV, bN, r1, r1)
+
+        H = normalize((bV + L) / 2)
+        local_v = jnp.einsum("rij,rj->ri", basis, bV)
+        halfvec = jnp.einsum("rij,rj->ri", basis, H)
+        diffvec = jnp.einsum("rij,rj->ri", basis, L)
+        samp_prob = jnp.exp(logD)
+
+        mipval = -jnp.log(jnp.clip(counts[src].astype(jnp.float32), 1)) - logD
+        bounce_rays = jnp.concatenate([exyz + L * 5e-3, L], axis=-1)
+
+        sg = jax.lax.stop_gradient
+        brdf_weight = self.brdf(
+            bV, sg(L), sg(bN), sg(H), sg(local_v), sg(halfvec), sg(diffvec),
+            efeatures, sg(r1), sg(r1))  # (R, 3)
+
+        # --- incoming light: envmap for all, retrace the top-T contributors
+        #     (microfacet.py:475-563) ---
+        incoming_light, _ = render_reflection(bounce_rays, mipval,
+                                              retrace=False, rkey=keys[4])
+        if recur < len(self.max_retrace_rays) and bg_module is not None:
+            T = self.max_retrace_rays[recur]
+            per_sample_factor = w[src] / ray_count[src]
+            per_ray_factor = (
+                brdf_weight.max(axis=-1)
+                * ((bV * bN).sum(-1) > 0)
+                * samp_prob)
+            contribution = sg(per_ray_factor * per_sample_factor)
+            contribution = jnp.where(slot_valid, contribution, -1.0)
+            contribution = contribution / jnp.clip(contribution.sum(), EPS) * T
+            contribution = contribution + jax.random.uniform(
+                keys[4], contribution.shape)
+            contribution = jnp.where(slot_valid, contribution, -1e9)
+            top_idx = jax.lax.top_k(contribution, T)[1]
+            retrace_rays = bounce_rays[top_idx]
+            retrace_mip = mipval[top_idx]
+            retraced, _ = render_reflection(retrace_rays, retrace_mip,
+                                            retrace=True, rkey=keys[4])
+            incoming_light = incoming_light.at[top_idx].set(retraced)
+
+        # --- composite bounce rays back onto samples (row_mask_sum ->
+        #     segment_sum; microfacet.py:565-619) ---
+        erc = ray_count[src][:, None]
+        spec = segment_sum_to(incoming_light / erc, src, slot_valid, M)
+        brdf_rgb = segment_sum_to(brdf_weight / erc, src, slot_valid, M)
+
+        mode = self.diffuse_mixing_mode
+        debug = {}
+        if mode in ("fresnel", "fresnel_ind"):
+            R0 = matprop["f0"][src]
+            ediffuse = diffuse[src]
+            costheta = jnp.abs((-bV * H).sum(-1, keepdims=True))
+            spec_reflectance = R0 + (1 - R0) * jnp.clip(
+                1 - costheta, 0, 1) ** 5
+            if mode == "fresnel":
+                comb = (spec_reflectance * incoming_light * brdf_weight
+                        + (1 - spec_reflectance) * ediffuse)
+            else:
+                comb = (spec_reflectance * incoming_light
+                        + (1 - spec_reflectance) * ediffuse)
+            rgb = segment_sum_to(comb / erc, src, slot_valid, M)
+            R0s = matprop["f0"]
+            cth = jnp.abs((-viewdirs * normals).sum(-1, keepdims=True))
+            sr = R0s + (1 - R0s) * jnp.clip(1 - cth, 0, 1) ** 5
+            debug["diffuse"] = (1 - sr) * diffuse
+            debug["tint"] = (sr * brdf_rgb if mode == "fresnel" else sr)
+        elif mode == "no_diffuse":
+            rgb = segment_sum_to(
+                incoming_light / erc * brdf_weight, src, slot_valid, M)
+            debug["diffuse"] = diffuse
+            debug["tint"] = brdf_rgb
+        else:  # 'lambda'
+            tinted = segment_sum_to(
+                incoming_light / erc * brdf_weight, src, slot_valid, M)
+            lam = tint.mean(axis=-1, keepdims=True)
+            rgb = lam * tinted + (1 - lam) * diffuse
+            rgb = jnp.where(counts[:, None] > 0, rgb, 0.0)
+            debug["diffuse"] = diffuse * (1 - lam)
+            debug["tint"] = brdf_rgb * lam
+
+        debug["roughness"] = matprop["r1"]
+        debug["spec"] = spec
+        debug["albedo"] = albedo
+        return rgb, debug
+
+
+def init_microfacet(key, app_dim, diffuse_module=None, brdf=None,
+                    brdf_sampler=None, min_rough_start=0.0, start_std=0.0,
+                    **kwargs):
+    from ..modules.brdf import init_mlp_brdf
+    from ..modules.ish import ListISH
+    from ..modules.render_modules import init_rand_hydra_diffuse
+
+    k1, k2 = jax.random.split(key)
+    if diffuse_module is None:
+        diffuse_module = init_rand_hydra_diffuse(k1, app_dim)
+    if brdf is None:
+        brdf = init_mlp_brdf(k2, app_dim, h_encoder=ListISH((0, 1, 2, 4)),
+                             d_encoder=ListISH((0, 1, 2, 4)))
+    if brdf_sampler is None:
+        brdf_sampler = GGXSampler()
+    conserve = kwargs.get("conserve_energy", True)
+    brdf = brdf.replace(init_val=0.5 if conserve else 0.25)
+    static_keys = {f.name for f in Microfacet.__dataclass_fields__.values()}
+    kwargs = {k: v for k, v in kwargs.items()
+              if k in static_keys and k not in (
+                  "diffuse_module", "brdf", "brdf_sampler", "min_rough",
+                  "std")}
+    # detach_N starts True only if the schedule will ever un-detach
+    # (reference microfacet.py:71,117-118 with detach_N_iters)
+    kwargs.setdefault("detach_N", kwargs.get("detach_N_iters", 0) > 0)
+    return Microfacet(
+        diffuse_module=diffuse_module, brdf=brdf, brdf_sampler=brdf_sampler,
+        min_rough=jnp.asarray(min_rough_start),
+        std=jnp.asarray(start_std), **kwargs)

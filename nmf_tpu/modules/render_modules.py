@@ -110,7 +110,8 @@ class RandHydraMLPDiffuse:
         diffuse = jax.nn.sigmoid(
             self.diffuse_mul * self.diffuse_mlp(mlp_in) + self.diffuse_bias)
         r = jax.nn.sigmoid(self.roughness_mlp(mlp_in) + self.roughness_bias) / 2
-        if std > 0 and key is not None:
+        # std may be a traced schedule scalar -> apply unconditionally
+        if key is not None:
             kd, kr = jax.random.split(key)
             diffuse = jnp.clip(
                 diffuse + jax.random.normal(kd, diffuse.shape) * std, 0, 1)

@@ -1,0 +1,259 @@
+"""Core volume renderer: the TensorNeRF composition root, TPU-native.
+
+Re-implements ``modules/tensor_nerf.py`` (TensorNeRF :38-674) as a pure
+function over a composed pytree. Structural differences from the reference,
+all driven by XLA's static-shape model:
+
+- Samples stay in a padded (B, K) layout with a validity mask end-to-end;
+  ``row_mask_sum`` compositing becomes a masked sum over the sample axis.
+- Ray recursion (render_reflection closure, tensor_nerf.py:291-317) is
+  depth-unrolled: the shading model gathers its top-T retrace rays into a
+  fixed (T, 6) buffer and calls back into ``render`` with recur+1; depth is
+  bounded statically by len(max_retrace_rays), so the jit trace simply
+  inlines the secondary pass.
+- The dynamic whole_valid ray-dropping (alphagrid.py:353-367) disappears:
+  batch size is a compile-time constant and per-ray sample budgets bound
+  work instead.
+"""
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .ops import safemath
+from .ops.masked import raw2alpha, row_mask_sum
+from .ops.tonemap import get_tonemap
+
+
+@struct.dataclass
+class NMF:
+    """Composition root (reference TensorNeRF.__init__, tensor_nerf.py:38-100)."""
+    rf: Any
+    sampler: Any
+    model: Any
+    bg_module: Optional[Any] = None
+    normal_module: Optional[Any] = None
+    # interpolation between predicted and geometric normals; a leaf so the
+    # geonorm schedule can update it without recompiling
+    predicted_normal_lambda: Any = 0.0
+
+    tonemap: str = struct.field(pytree_node=False, default="srgb")
+    hdr: bool = struct.field(pytree_node=False, default=False)
+    recur_stepmul: float = struct.field(pytree_node=False, default=1.0)
+    recur_alpha_thres: float = struct.field(pytree_node=False, default=1e-3)
+    detach_inter: bool = struct.field(pytree_node=False, default=False)
+    use_predicted_normals: bool = struct.field(pytree_node=False, default=False)
+    align_pred_norms: bool = struct.field(pytree_node=False, default=True)
+    orient_world_normals: bool = struct.field(pytree_node=False, default=True)
+    geonorm_iters: int = struct.field(pytree_node=False, default=-1)
+    geonorm_interp_iters: int = struct.field(pytree_node=False, default=1000)
+    eval_batch_size: int = struct.field(pytree_node=False, default=4096)
+    lr_scale: float = struct.field(pytree_node=False, default=1.0)
+    # per-pass sample budgets (TPU static-shape knobs; None -> full N)
+    max_samples_per_ray: int = struct.field(pytree_node=False, default=-1)
+    recur_samples_per_ray: int = struct.field(pytree_node=False, default=-1)
+
+    def check_schedule(self, iteration: int, batch_mul: int = 1):
+        """Host-side schedule tick. Returns (new_self, needs_optimizer_reinit)."""
+        new_model, m_changed = self.model.check_schedule(iteration, batch_mul)
+        new_sampler, s_changed = self.sampler.check_schedule(
+            iteration, batch_mul, self.rf)
+        new_rf, r_changed = self.rf.check_schedule(iteration, batch_mul)
+        changed = m_changed or s_changed or r_changed
+        new = self.replace(model=new_model, sampler=new_sampler, rf=new_rf)
+        if changed:
+            new = new.replace(sampler=new.sampler.update(new.rf, init=True))
+        if self.geonorm_iters > 0:
+            lam = min(max(
+                (iteration / batch_mul - self.geonorm_iters)
+                / self.geonorm_interp_iters, 0.0), 1.0)
+            new = new.replace(predicted_normal_lambda=lam)
+        return new, changed
+
+
+def render_just_bg(nmf: NMF, viewdirs, mipval, bg_cache=None):
+    """Background-only shading (tensor_nerf.py:204-208)."""
+    return nmf.bg_module(viewdirs, mipval, cache=bg_cache).reshape(-1, 3)
+
+
+def render(nmf: NMF, rays, key, focal=1.0, is_train=False, bg_col=(1.0, 1.0, 1.0),
+           recur=0, override_near=None, stepmul=1.0, tonemap=True,
+           gt_normals=None, start_mipval=None, draw_debug=False, bg_cache=None):
+    """Render a ray batch.
+
+    rays: (B, 6). Returns (images dict, stats dict). All outputs have leading
+    dim B. This is the hot path -- everything inside is jit-compatible with
+    static shapes. (Reference: TensorNeRF.forward, tensor_nerf.py:210-674.)
+    """
+    B = rays.shape[0]
+    keys = jax.random.split(key, 4)
+    eps = 1e-12
+
+    # ---- sample points along rays (L1 sampler layer) ----
+    k_spr = (nmf.max_samples_per_ray if recur == 0
+             else nmf.recur_samples_per_ray)
+    samp = nmf.sampler.sample(
+        rays, key=keys[0], is_train=is_train, override_near=override_near,
+        stepmul=stepmul, max_samples_per_ray=k_spr, focal=focal)
+    xyz = samp["xyz"]          # (B, K, 4)
+    z_vals = samp["z_vals"]    # (B, K)
+    dists = samp["dists"]      # (B, K)
+    valid = samp["valid"]      # (B, K)
+    K = xyz.shape[1]
+
+    xyz_flat = xyz.reshape(-1, 4)
+    valid_flat = valid.reshape(-1)
+    xyz_normed = nmf.rf.normalize_coord(xyz_flat)
+    viewdirs = jnp.broadcast_to(rays[:, None, 3:6], (B, K, 3))
+
+    # ---- density ----
+    sigma = nmf.rf.compute_densityfeature(xyz_flat).reshape(B, K)
+    sigma = jnp.where(valid, sigma, 0.0)
+    weight, bg_T = raw2alpha(sigma, dists * nmf.rf.distance_scale)
+    if recur > 0 and nmf.detach_inter:
+        weight = jax.lax.stop_gradient(weight)
+    acc_map = weight.sum(axis=1)
+
+    # ---- appearance + normals ----
+    app_features = nmf.rf.compute_appfeature(xyz_flat)  # (B*K, D)
+
+    needs_normals = nmf.model.needs_normals(recur)
+    if needs_normals:
+        world_normal = nmf.rf.compute_normals(xyz_flat)  # (B*K, 3)
+        if nmf.normal_module is not None:
+            pred_norms = nmf.normal_module(xyz_normed, app_features,
+                                           world_normal)
+            lam = nmf.predicted_normal_lambda
+            v_world_normal = safemath.normalize(
+                lam * pred_norms + (1 - lam) * world_normal)
+        else:
+            pred_norms = jnp.zeros_like(world_normal)
+            v_world_normal = world_normal
+    else:
+        world_normal = jnp.zeros((B * K, 3))
+        pred_norms = jnp.zeros_like(world_normal)
+        v_world_normal = world_normal
+
+    # ---- shading model (L4) ----
+    def render_reflection(bounce_rays, mipval, retrace, rkey):
+        """bounce_rays: (T, 6); mipval: (T,). Returns (rgb (T,3), bg_vis)."""
+        if retrace:
+            inc_ims, inc_stats = render(
+                nmf, bounce_rays, rkey, focal=focal, is_train=is_train,
+                bg_col=None, recur=recur + 1,
+                override_near=3 * nmf.sampler.stepsize,
+                stepmul=nmf.recur_stepmul, tonemap=False,
+                start_mipval=mipval, bg_cache=bg_cache)
+            return inc_ims["rgb_map"], 1 - inc_ims["acc_map"]
+        else:
+            return render_just_bg(nmf, bounce_rays[:, 3:6], mipval,
+                                  bg_cache), None
+
+    rgb, debug = nmf.model.shade(
+        xyz_flat, xyz_normed, app_features,
+        viewdirs.reshape(-1, 3), v_world_normal,
+        weight.reshape(-1), valid_flat, B,
+        render_reflection=render_reflection,
+        bg_module=nmf.bg_module, bg_cache=bg_cache, is_train=is_train,
+        recur=recur, key=keys[1])
+    rgb = rgb.reshape(B, K, 3)
+
+    eweight = weight[..., None]
+    rgb_map = row_mask_sum(eweight * rgb, valid)
+
+    images = {}
+    stats = {"recur": recur}
+
+    # ---- background ----
+    tm_fn, _ = get_tonemap(nmf.tonemap)
+    if nmf.bg_module is not None and bg_col is None:
+        bg_mip = (jnp.full((B,), -100.0) if start_mipval is None
+                  else start_mipval.reshape(-1))
+        bg = render_just_bg(nmf, rays[:, 3:6], bg_mip, bg_cache)
+        if tonemap:
+            bg = tm_fn(bg, noclip=True)
+    else:
+        bg = jnp.asarray(bg_col if bg_col is not None else (0.0, 0.0, 0.0)
+                         ).reshape(1, 3)
+
+    # ---- losses / statistics (recur == 0 only) ----
+    if recur == 0:
+        aweight = jnp.where(valid_flat, weight.reshape(-1), 0.0)
+        vdet = jax.lax.stop_gradient(viewdirs.reshape(-1, 3))
+        NdotV_pred = (-vdet * pred_norms).sum(-1)
+        NdotV_geo = (-vdet * world_normal).sum(-1)
+        if nmf.geonorm_iters > 0:
+            ori = aweight * (jnp.clip(NdotV_pred, None, 0) ** 2
+                             + jnp.clip(NdotV_geo, None, 0) ** 2)
+        else:
+            ori = aweight * jnp.clip(NdotV_geo, None, 0) ** 2
+        stats["ori_loss"] = ori.sum()
+
+        if nmf.align_pred_norms and nmf.normal_module is not None:
+            align = 2 * (1 - (pred_norms * world_normal).sum(-1))
+            stats["prediction_loss"] = (aweight * align).sum()
+        else:
+            stats["prediction_loss"] = jnp.zeros(())
+
+        if nmf.bg_module is not None:
+            env_brightness = nmf.bg_module.mean_color().mean()
+            stats["envmap_reg"] = jnp.clip(env_brightness - 0.05, 0)
+        else:
+            stats["envmap_reg"] = jnp.zeros(())
+
+        if gt_normals is not None:
+            # gt_normals: (B, 3); weight samples against per-ray GT normals
+            gt_e = jnp.broadcast_to(gt_normals[:, None, :], (B, K, 3)
+                                    ).reshape(-1, 3)
+            gt_mask = (gt_e.sum(-1) > 0.9) & valid_flat
+            err_a = 2 * (1 - (pred_norms * gt_e).sum(-1))
+            err_b = 2 * (1 - (world_normal * gt_e).sum(-1))
+            stats["normal_err"] = (jnp.where(gt_mask, aweight, 0.0)
+                                   * (err_a + err_b)).sum()
+        else:
+            stats["normal_err"] = jnp.zeros(())
+
+        stats["brdf_reg"] = (jnp.clip(debug["tint"].mean(), 0)
+                             if "tint" in debug else jnp.zeros(()))
+        if "diffuse" in debug:
+            stats["diffuse_reg"] = (
+                jax.lax.stop_gradient(aweight)[:, None] * debug["diffuse"]
+            ).sum() / 3
+        else:
+            stats["diffuse_reg"] = jnp.zeros(())
+        from .ops.losses import distortion_loss
+
+        stats["distortion_loss"] = distortion_loss(z_vals, weight, dists)
+        stats["n_valid_samples"] = valid.sum()
+
+    # ---- debug maps (eval only) ----
+    if draw_debug:
+        depth_map = (weight * z_vals).sum(axis=1)
+        pw = jnp.where(valid, weight, 0.0)[..., None]
+        wn_map = row_mask_sum(world_normal.reshape(B, K, 3) * pw, valid)
+        wn_map = acc_map[..., None] * wn_map + (1 - acc_map[..., None])
+        pn_map = row_mask_sum(pred_norms.reshape(B, K, 3) * pw, valid)
+        pn_map = acc_map[..., None] * pn_map + (1 - acc_map[..., None])
+        inds = jnp.argmax(weight, axis=1)
+        term_xyz = jnp.take_along_axis(xyz, inds[:, None, None], axis=1)[:, 0]
+        cs_mask = (xyz_normed.reshape(B, K, -1)[..., 2] < 0) & valid
+        cross_section = row_mask_sum(
+            cs_mask[..., None] * eweight * jnp.clip(rgb, 0, 1), valid)
+        images["depth"] = depth_map
+        images["world_normal"] = wn_map
+        images["normal"] = pn_map
+        images["termination_xyz"] = term_xyz
+        images["surf_width"] = valid.sum(axis=1)
+        images["cross_section"] = cross_section
+        for k, v in debug.items():
+            im = row_mask_sum(v.reshape(B, K, -1) * eweight, valid)
+            images[k] = im + (1 - acc_map[..., None]) * bg
+
+    if tonemap:
+        rgb_map = tm_fn(rgb_map, noclip=nmf.hdr)
+    rgb_map = rgb_map + (1 - acc_map[..., None]) * bg
+
+    images["rgb_map"] = rgb_map
+    images["acc_map"] = acc_map
+    return images, stats

@@ -63,12 +63,21 @@ class AlphaGridSampler:
         """Adopt field geometry; on non-init also rebuild the alpha mask
         (reference AlphaGridSampler.update, alphagrid.py:96-111)."""
         new = self.replace(
-            aabb=rf.aabb,
+            # copy so the sampler never aliases the field's buffer (jit
+            # donation requires distinct buffers per pytree leaf)
+            aabb=jnp.array(rf.aabb),
             n_samples=rf.n_samples * self.multiplier,
             stepsize=rf.stepsize / self.multiplier,
         )
         if not init:
             new, _ = new.update_alpha_mask(rf)
+        elif new.alpha_mask is None:
+            # keep the pytree structure stable from step 0 (an optimizer
+            # label tree is built once over the model): start with an
+            # everything-occupied mask instead of None
+            new = new.replace(alpha_mask=AlphaGridMask(
+                aabb=jnp.array(rf.aabb),
+                alpha_volume=jnp.ones((32, 32, 32), jnp.float32)))
         return new
 
     def check_schedule(self, iteration: int, batch_mul: int, rf):
@@ -98,7 +107,8 @@ class AlphaGridSampler:
         alpha_t = jnp.clip(alpha, 0, 1).transpose(2, 1, 0)  # (Z, Y, X)
         alpha_t = max_pool_3d(alpha_t, 3)
         alpha_bin = (alpha_t >= self.alpha_mask_thres).astype(jnp.float32)
-        mask = AlphaGridMask(aabb=self.aabb, alpha_volume=alpha_bin)
+        # copy aabb: leaves must not alias (jit buffer donation)
+        mask = AlphaGridMask(aabb=jnp.array(self.aabb), alpha_volume=alpha_bin)
 
         occupied = np.asarray(alpha_bin.transpose(2, 1, 0)) > 0.5  # (X, Y, Z)
         xyz_np = np.asarray(dense_xyz)

@@ -1,0 +1,224 @@
+"""Training driver (the reference's train.py:191-916, re-architected).
+
+Host loop responsibilities: batching, schedule events (voxel upsample /
+alpha-mask rebuild / bias calibration), optimizer re-init on shape changes,
+lambda decay, periodic eval, checkpointing, telemetry. The device step is one
+jitted function (trainer.make_train_step).
+
+CLI:
+    python train.py model=microfacet_tensorf2 dataset=lego datadir=/data \
+        expname=run1 model.params.n_iters=30000
+"""
+import math
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import ckpt as ckpt_lib
+from . import config as config_lib
+from . import eval as eval_lib
+from . import trainer
+from .builders import build_nmf
+from .data.blender import load_dataset
+from .render import NMF, render
+
+
+def calibrate_model(nmf: NMF, key):
+    """Initial bias calibration against bg brightness (train.py:421-437)."""
+    if not hasattr(nmf.model, "calibrate") or nmf.bg_module is None:
+        return nmf
+    k1, k2 = jax.random.split(key)
+    xyz = jax.random.uniform(k1, (10000, 4)) * 2 - 1
+    xyz = xyz.at[:, 3].set(0.0)
+    feat = nmf.rf.compute_appfeature(xyz)
+    bg_brightness = float(nmf.bg_module.mean_color().mean())
+    new_model = nmf.model.calibrate(k2, xyz, feat, bg_brightness)
+    return nmf.replace(model=new_model)
+
+
+def make_loss_weights(params, iteration=0, ori_mult=1.0, pred_mult=1.0):
+    return trainer.LossWeights(
+        ori_lambda=params.get("ori_lambda", 0.0) * ori_mult,
+        pred_lambda=params.get("pred_lambda", 0.0) * pred_mult,
+        envmap_lambda=params.get("envmap_lambda", 0.0),
+        diffuse_lambda=params.get("diffuse_lambda", 0.0),
+        brdf_lambda=params.get("brdf_lambda", 0.0),
+        normal_err_lambda=params.get("normal_err_lambda", 0.0),
+        distortion_lambda=params.get("distortion_lambda", 0.0),
+        l1_weight=params.get("L1_weight_initial", 0.0),
+        ortho_weight=params.get("ortho_weight", 0.0),
+        tv_weight_density=params.get("TV_weight_density", 0.0),
+        tv_weight_app=params.get("TV_weight_app", 0.0),
+        tv_weight_bg=params.get("TV_weight_bg", 0.0),
+    )
+
+
+def reconstruction(cfg, log=print):
+    params = cfg["model"]["params"]
+    datadir = cfg.get("datadir", "/data")
+    expname = f"{cfg['dataset']['scenedir'].split('/')[-1]}_{cfg['expname']}"
+    logfolder = Path(cfg.get("basedir", "./log")) / expname
+    logfolder.mkdir(parents=True, exist_ok=True)
+    config_lib.save_config(cfg, logfolder / "config.yaml")
+
+    train_ds = load_dataset(cfg["dataset"], datadir, split="train")
+    test_ds = load_dataset(cfg["dataset"], datadir, split="test")
+    focal = float(train_ds["focal"])
+
+    key = jax.random.PRNGKey(cfg.get("seed", 20211200))
+    key, bkey = jax.random.split(key)
+    nmf = build_nmf(bkey, cfg["model"]["arch"], train_ds["scene_bbox"],
+                    train_ds["near_far"])
+
+    if cfg.get("ckpt"):
+        nmf, _, _ = ckpt_lib.load(cfg["ckpt"])
+
+    nmf = nmf.replace(sampler=nmf.sampler.update(nmf.rf, init=True))
+    key, ckey = jax.random.split(key)
+    nmf = calibrate_model(nmf, ckey)
+
+    n_iters = int(params["n_iters"])
+    batch_size = int(params.get("batch_size", 4096))
+    opt_cfg = trainer.OptimConfig(
+        betas=tuple(params.get("betas", (0.9, 0.99))),
+        eps=params.get("eps", 1e-8),
+        lr_init=params.get("lr_init", 1.0),
+        lr_final=params.get("lr_final", 1e-3),
+        lr_delay_steps=int(params.get("lr_delay_steps", 100)),
+        lr_delay_mult=params.get("lr_delay_mult", 0.1),
+        n_iters=n_iters)
+
+    def init_optimizer(nmf):
+        tx = trainer.make_optimizer(nmf, opt_cfg)
+        return tx, tx.init(nmf), trainer.make_train_step(
+            tx, hdr=nmf.hdr,
+            use_gt_normals=train_ds.get("all_norms") is not None,
+            donate=cfg.get("donate_buffers", True))
+
+    tx, opt_state, step_fn = init_optimizer(nmf)
+
+    ori_decay = (math.exp(math.log(params["final_ori_lambda"]
+                                   / params["ori_lambda"]) / n_iters)
+                 if params.get("ori_lambda", 0) > 0
+                 and params.get("final_ori_lambda") else 1.0)
+    pred_decay = (math.exp(math.log(params["final_pred_lambda"]
+                                    / params["pred_lambda"]) / n_iters)
+                  if params.get("pred_lambda", 0) > 0
+                  and params.get("final_pred_lambda") else 1.0)
+
+    sampler = trainer.SimpleSampler(train_ds["all_rays"].shape[0], batch_size,
+                                    seed=cfg.get("seed", 0))
+    rng = np.random.default_rng(cfg.get("seed", 0))
+    bg_mode = params.get("bg_col", "white")
+    has_norms = train_ds.get("all_norms") is not None
+
+    ori_mult, pred_mult = 1.0, 1.0
+    psnrs = []
+    t_start = time.time()
+    rays_done = 0
+    l1_rest_at = 0
+    for iteration in range(n_iters):
+        ids = sampler.nextids()
+        rays = jnp.asarray(train_ds["all_rays"][ids])
+        rgba = train_ds["all_rgbs"][ids]
+        bg_col = trainer.bg_col_for(bg_mode, rng)
+        if rgba.shape[-1] == 4:
+            rgb_gt = rgba[:, :3] * rgba[:, 3:] + (1 - rgba[:, 3:]) * bg_col
+        else:
+            rgb_gt = rgba
+        rgb_gt = jnp.asarray(rgb_gt)
+        gt_normals = (jnp.asarray(train_ds["all_norms"][ids])
+                      if has_norms else None)
+
+        weights = make_loss_weights(params, iteration, ori_mult, pred_mult)
+        if iteration > 0 and params.get("L1_weight_rest") is not None \
+                and l1_rest_at:
+            weights = weights._replace(l1_weight=params["L1_weight_rest"])
+
+        key, sk = jax.random.split(key)
+        nmf, opt_state, metrics = step_fn(
+            nmf, opt_state, rays, jnp.asarray(rgb_gt),
+            jnp.asarray(bg_col), sk, weights, gt_normals)
+        ori_mult *= ori_decay
+        pred_mult *= pred_decay
+        rays_done += batch_size
+
+        if iteration % cfg.get("progress_refresh_rate", 50) == 0:
+            mse = float(metrics["photo_mse"])
+            psnr = -10 * math.log10(max(mse, 1e-10))
+            psnrs.append(psnr)
+            elapsed = time.time() - t_start
+            log(f"iter {iteration:06d} psnr={psnr:.2f} "
+                f"loss={float(metrics['loss']):.5f} "
+                f"rays/s={rays_done / max(elapsed, 1e-9):.0f}")
+
+        # schedule events (train.py:806-813)
+        new_nmf, changed = nmf.check_schedule(iteration + 1, 1)
+        if changed:
+            nmf = new_nmf
+            tx, opt_state, step_fn = init_optimizer(nmf)
+            l1_rest_at = iteration + 1
+            log(f"iter {iteration}: schedule event -> optimizer reinit; "
+                f"grid={nmf.rf.grid_size}")
+        else:
+            nmf = new_nmf
+
+        if (cfg.get("vis_every", 0) > 0 and cfg.get("N_vis", 0) != 0
+                and iteration % cfg["vis_every"] == cfg["vis_every"] - 1):
+            key, ek = jax.random.split(key)
+            res = eval_lib.evaluate(
+                nmf, test_ds, ek, save_dir=str(logfolder / "imgs_vis"),
+                n_vis=cfg.get("N_vis", 5), prefix=f"{iteration:06d}_",
+                compute_extra_metrics=False)
+            log(f"iter {iteration} test: {res}")
+            if cfg.get("save_often"):
+                ckpt_lib.save(logfolder / f"{expname}_{iteration}.th",
+                              nmf, cfg)
+
+    ckpt_lib.save(logfolder / f"{expname}.th", nmf, cfg)
+
+    if cfg.get("render_test", True):
+        key, ek = jax.random.split(key)
+        res = eval_lib.evaluate(nmf, test_ds, ek,
+                                save_dir=str(logfolder / "imgs_test_all"),
+                                n_vis=cfg.get("N_vis", -1))
+        log(f"final test: {res}")
+        return nmf, res
+    return nmf, {}
+
+
+def render_test(cfg, log=print):
+    """render_only path incl. fixed_bg relighting (train.py:54-138)."""
+    if not cfg.get("ckpt"):
+        raise SystemExit(
+            "render_only=True requires ckpt=<path to a .th checkpoint>")
+    nmf, saved_cfg, _ = ckpt_lib.load(cfg["ckpt"])
+    if cfg.get("fixed_bg"):
+        bg, _, _ = ckpt_lib.load(cfg["fixed_bg"])
+        nmf = nmf.replace(bg_module=bg)
+    datadir = cfg.get("datadir", "/data")
+    test_ds = load_dataset(cfg["dataset"], datadir, split="test")
+    expname = f"{cfg['dataset']['scenedir'].split('/')[-1]}_{cfg['expname']}"
+    logfolder = Path(cfg.get("basedir", "./log")) / expname
+    key = jax.random.PRNGKey(0)
+    res = eval_lib.evaluate(nmf, test_ds, key,
+                            save_dir=str(logfolder / "imgs_render"),
+                            n_vis=cfg.get("N_vis", -1))
+    log(f"render_test: {res}")
+    return nmf, res
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    cfg = config_lib.compose(argv)
+    if cfg.get("render_only"):
+        return render_test(cfg)
+    return reconstruction(cfg)
+
+
+if __name__ == "__main__":
+    main()

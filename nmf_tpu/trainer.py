@@ -1,0 +1,261 @@
+"""Training library: optimizer groups, jitted train step, host-side loop.
+
+Replaces the reference driver internals (train.py:443-813):
+- per-module Adam param groups with individual lrs/betas
+  (get_optparam_groups chains, tensor_nerf.py:105-118) via optax
+  multi_transform over a path-derived label tree
+- the mip-NeRF log-lerp LR decay (utils.py:327-359) as a traceable schedule
+- optimizer re-init on schedule events (train.py:806-813): state is rebuilt
+  functionally whenever the model pytree changes shape
+- NaN-loss skip (train.py:710-711) via a where-guarded update.
+
+TPU-first redesign notes: the reference adapts the per-forward ray count
+every iteration to hit a target sample count (train.py:616-627), which would
+force recompiles; here the ray batch is a compile-time constant and the
+per-ray top-K sample budget bounds work instead.
+"""
+import math
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from .render import NMF, render
+
+
+# ---------------------------------------------------------------------------
+# optimizer
+# ---------------------------------------------------------------------------
+
+def _path_str(path):
+    parts = []
+    for p in path:
+        if hasattr(p, "name"):
+            parts.append(str(p.name))
+        elif hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def label_for_path(s: str) -> str:
+    """Map a pytree path to an optimizer group (the functional analogue of
+    get_optparam_groups)."""
+    if s.startswith("rf/density_rf") or s.startswith("rf/app_rf"):
+        return "rf_grid"
+    if s.startswith("rf/basis_mat") or s.startswith("rf/dbasis_mat"):
+        return "rf_net"
+    if s.startswith("model/diffuse_module"):
+        if s.endswith("diffuse_bias") or s.endswith("roughness_bias"):
+            return "frozen"
+        return "diffuse"
+    if s.startswith("model/brdf/bias"):
+        return "frozen"
+    if s.startswith("model/brdf"):
+        return "brdf"
+    if s.startswith("model/"):
+        # dynamic schedule scalars (min_rough, std, ...) stay frozen
+        return "frozen"
+    if s.startswith("normal_module"):
+        return "normal"
+    if s.startswith("bg_module/bg_mat"):
+        return "bg"
+    if s.startswith("bg_module/mipbias"):
+        return "bg_mipbias"
+    if s.startswith("bg_module/brightness"):
+        return "bg_brightness"
+    if s.startswith("bg_module/mul"):
+        return "bg_mul"
+    return "frozen"
+
+
+def make_label_tree(nmf: NMF):
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: label_for_path(_path_str(path)), nmf)
+
+
+def lr_decay_schedule(lr_init, lr_final, max_steps, lr_delay_steps=100,
+                      lr_delay_mult=0.1):
+    """Traceable mip-NeRF decay: multiplier from lr_init -> lr_final."""
+    def sched(count):
+        step = jnp.asarray(count, jnp.float32)
+        if lr_delay_steps > 0:
+            delay = lr_delay_mult + (1 - lr_delay_mult) * jnp.sin(
+                0.5 * jnp.pi * jnp.clip(step / lr_delay_steps, 0, 1))
+        else:
+            delay = 1.0
+        t = jnp.clip(step / max_steps, 0, 1)
+        return delay * jnp.exp(
+            (1 - t) * math.log(lr_init) + t * math.log(lr_final))
+    return sched
+
+
+class OptimConfig(NamedTuple):
+    betas: tuple = (0.9, 0.99)
+    eps: float = 1e-8
+    lr_init: float = 1.0
+    lr_final: float = 1e-3
+    lr_delay_steps: int = 100
+    lr_delay_mult: float = 0.1
+    n_iters: int = 30000
+
+
+def group_hyperparams(nmf: NMF, cfg: OptimConfig):
+    """(lr, betas) per group, pulled from the module definitions."""
+    lr_scale = nmf.lr_scale
+    groups = {
+        "rf_grid": (nmf.rf.lr * lr_scale, cfg.betas),
+        "rf_net": (nmf.rf.lr_net * lr_scale, (0.9, 0.99)),
+        "frozen": (0.0, cfg.betas),
+    }
+    dm = getattr(nmf.model, "diffuse_module", None)
+    groups["diffuse"] = ((dm.lr if dm is not None else 1e-3) * lr_scale,
+                         cfg.betas)
+    br = getattr(nmf.model, "brdf", None)
+    groups["brdf"] = ((br.lr if br is not None else 1e-3) * lr_scale,
+                      cfg.betas)
+    nm = nmf.normal_module
+    groups["normal"] = ((nm.lr if nm is not None else 1e-3) * lr_scale,
+                        cfg.betas)
+    bg = nmf.bg_module
+    if bg is not None:
+        groups["bg"] = (bg.lr * lr_scale, tuple(bg.betas))
+        groups["bg_mipbias"] = (bg.mipbias_lr * lr_scale, cfg.betas)
+        groups["bg_brightness"] = (bg.brightness_lr * lr_scale, cfg.betas)
+        groups["bg_mul"] = (bg.mul_lr * lr_scale, tuple(bg.mul_betas))
+    else:
+        for k in ("bg", "bg_mipbias", "bg_brightness", "bg_mul"):
+            groups[k] = (0.0, cfg.betas)
+    return groups
+
+
+def make_optimizer(nmf: NMF, cfg: OptimConfig):
+    labels = make_label_tree(nmf)
+    groups = group_hyperparams(nmf, cfg)
+    sched = lr_decay_schedule(cfg.lr_init, cfg.lr_final, cfg.n_iters,
+                              cfg.lr_delay_steps, cfg.lr_delay_mult)
+    transforms = {}
+    for name, (lr, betas) in groups.items():
+        if lr == 0.0:
+            transforms[name] = optax.set_to_zero()
+        else:
+            transforms[name] = optax.chain(
+                optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=cfg.eps),
+                optax.scale_by_schedule(lambda c, _lr=lr: -_lr * sched(c)),
+            )
+    tx = optax.multi_transform(transforms, labels)
+    return tx
+
+
+class LossWeights(NamedTuple):
+    """Per-iteration loss weighting (train.py params block)."""
+    ori_lambda: Any = 0.1
+    pred_lambda: Any = 3e-4
+    envmap_lambda: Any = 0.0
+    diffuse_lambda: Any = 0.0
+    brdf_lambda: Any = 0.0
+    normal_err_lambda: Any = 0.0
+    distortion_lambda: Any = 0.0
+    l1_weight: Any = 8e-5
+    ortho_weight: Any = 0.0
+    tv_weight_density: Any = 0.0
+    tv_weight_app: Any = 0.0
+    tv_weight_bg: Any = 0.0
+    charbonier_eps: float = 1e-3
+
+
+def compute_loss(nmf: NMF, rays, rgb_gt, key, weights: LossWeights,
+                 bg_col, gt_normals=None, hdr=False):
+    """Photometric + regularizer loss (train.py:578-712)."""
+    bg_cache = (nmf.bg_module.prepare() if nmf.bg_module is not None else None)
+    ims, stats = render(nmf, rays, key, is_train=True, bg_col=bg_col,
+                        gt_normals=gt_normals, bg_cache=bg_cache)
+    rgb_map = ims["rgb_map"]
+    B = rays.shape[0]
+    if hdr:
+        photo = optax.losses.huber_loss(rgb_map, rgb_gt, delta=1.0).sum()
+    else:
+        photo = ((jnp.clip(rgb_map, 0, 1) - jnp.clip(rgb_gt, 0, 1)) ** 2).sum()
+
+    total = (photo
+             + weights.distortion_lambda * stats["distortion_loss"]
+             + weights.ori_lambda * stats["ori_loss"]
+             + weights.envmap_lambda * stats["envmap_reg"]
+             + weights.diffuse_lambda * stats["diffuse_reg"]
+             + weights.brdf_lambda * stats["brdf_reg"]
+             + weights.pred_lambda * stats["prediction_loss"]
+             + weights.normal_err_lambda * stats["normal_err"])
+    # weights may be traced scalars (they decay per-iteration), so every term
+    # is computed unconditionally; zero weights are fused away only when the
+    # caller passes python floats
+    total = total + weights.l1_weight * nmf.rf.density_L1() * B
+    total = total + weights.ortho_weight * nmf.rf.vector_comp_diffs() * B
+    total = total + weights.tv_weight_density * nmf.rf.tv_loss_density() * B
+    total = total + weights.tv_weight_app * nmf.rf.tv_loss_app() * B
+    if nmf.bg_module is not None:
+        total = total + weights.tv_weight_bg * nmf.bg_module.tv_loss() * B
+
+    total = total / B
+    photo_mse = ((jnp.clip(rgb_map, 0, 1) - jnp.clip(rgb_gt, 0, 1)) ** 2
+                 ).mean()
+    metrics = {"loss": total, "photo_mse": photo_mse,
+               "n_valid_samples": stats.get("n_valid_samples", 0)}
+    return total, metrics
+
+
+def make_train_step(tx, hdr=False, use_gt_normals=False, donate=True):
+    """Build the jitted train step closed over the optimizer."""
+
+    def step(nmf: NMF, opt_state, rays, rgb_gt, bg_col, key,
+             weights: LossWeights, gt_normals=None):
+        (loss, metrics), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(
+                nmf, rays, rgb_gt, key, weights, bg_col,
+                gt_normals=gt_normals if use_gt_normals else None, hdr=hdr)
+        updates, new_opt_state = tx.update(grads, opt_state, params=nmf)
+        new_nmf = optax.apply_updates(nmf, updates)
+        # NaN guard (train.py:710-711): skip the update if the loss went NaN
+        ok = jnp.isfinite(loss)
+        new_nmf = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), new_nmf, nmf)
+        new_opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), new_opt_state, opt_state)
+        return new_nmf, new_opt_state, metrics
+
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
+class SimpleSampler:
+    """Random permutation ray-batch cursor (train.py:36-52)."""
+
+    def __init__(self, total, batch, seed=0):
+        self.total = total
+        self.batch = batch
+        self.curr = total
+        self.ids = None
+        self.rng = np.random.default_rng(seed)
+
+    def nextids(self, batch=None):
+        batch = self.batch if batch is None else batch
+        self.curr += batch
+        if self.ids is None or self.curr + batch > self.total:
+            self.ids = self.rng.permutation(self.total)
+            self.curr = 0
+        return self.ids[self.curr:self.curr + batch]
+
+
+def bg_col_for(mode: str, rng) -> np.ndarray:
+    if mode == "rand":
+        return rng.uniform(size=(3,)).astype(np.float32)
+    if mode == "white":
+        return np.ones(3, dtype=np.float32)
+    if mode == "black":
+        return np.zeros(3, dtype=np.float32)
+    raise ValueError(f"Unknown bg col mode {mode}")

@@ -1,0 +1,129 @@
+"""Environment map (IntegralEquirect) tests."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nmf_tpu.modules.bg import init_integral_equirect
+from nmf_tpu.ops.safemath import normalize
+
+
+def make_bg(res=32, init_val=0.0, activation="identity"):
+    return init_integral_equirect(jax.random.PRNGKey(0), bg_resolution=res,
+                                  init_val=init_val, activation=activation,
+                                  mipbias=0.0)
+
+
+class TestIntegralEquirect:
+    def test_constant_map_query(self):
+        # a constant map must return the constant regardless of direction/mip
+        bg = make_bg(init_val=0.7, res=64)
+        h, w = bg.hw()
+        # align-corners SAT carries an inherent (w-1)(h-1)/(wh) scale (the
+        # reference has the same bias; the learnable brightness absorbs it)
+        expect = 0.7 * (w - 1) * (h - 1) / (w * h)
+        rng = np.random.default_rng(0)
+        dirs = rng.normal(size=(200, 3))
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        for mip in (-5.0, -2.0, 0.0):
+            vals = bg(jnp.asarray(dirs, jnp.float32),
+                      jnp.full((200,), mip))
+            np.testing.assert_allclose(np.asarray(vals), expect, atol=0.03)
+
+    def test_direction_mapping(self):
+        # paint one texel bright and confirm the right direction sees it
+        bg = make_bg(res=64, init_val=0.0)
+        h, w = bg.hw()
+        mat = np.zeros((3, h, w), np.float32)
+        # equator, phi=pi (-x direction) -> coords x = 0 -> center column
+        mat[:, h // 2, w // 2] = 10.0
+        bg = bg.replace(bg_mat=jnp.asarray(mat))
+        d = jnp.asarray([[-1.0, 0.0, 0.0]])  # phi=pi, theta=0
+        v_hit = bg(d, jnp.full((1,), -2.0))
+        d2 = jnp.asarray([[1.0, 0.0, 0.0]])  # opposite azimuth
+        v_miss = bg(d2, jnp.full((1,), -2.0))
+        assert float(v_hit[0, 0]) > float(v_miss[0, 0]) + 0.1
+
+    def test_sat_matches_brute_force_box(self):
+        # mid-latitude, small footprint: SAT box integral == direct average
+        rng = np.random.default_rng(1)
+        res = 64
+        bg = make_bg(res=res, init_val=0.0)
+        mat = rng.uniform(size=(3, res, 2 * res)).astype(np.float32)
+        bg = bg.replace(bg_mat=jnp.asarray(mat))
+        cache = bg.prepare()
+
+        dirs = np.array([[0.3, 0.8, 0.1], [-0.5, 0.4, -0.2]], np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        sa = np.full((2,), -1.0, np.float32)
+        ours = np.asarray(bg(jnp.asarray(dirs), jnp.asarray(sa), cache=cache))
+
+        # brute force: average activated texels inside the same box
+        h, w = res, 2 * res
+        mip_w, mip_h = bg.sa2mip(jnp.asarray(dirs), jnp.asarray(sa))
+        act = np.asarray(bg.activation_fn(bg.bg_mat))
+        for i in range(2):
+            a, b, c = dirs[i]
+            phi = math.atan2(b, a)
+            theta = math.atan2(c, math.sqrt(a * a + b * b))
+            cx = (phi % (2 * math.pi) - math.pi) / math.pi
+            cy = -theta / math.pi * 2
+            sw = 2 ** float(mip_w[i]) / h / 2
+            sh = 2 ** float(mip_h[i]) / h
+            # box in pixel space (align_corners grid)
+            x0 = (cx - sw / 2 + 1) / 2 * (w - 1)
+            x1 = (cx + sw / 2 + 1) / 2 * (w - 1)
+            y0 = (cy - sh / 2 + 1) / 2 * (h - 1)
+            y1 = (cy + sh / 2 + 1) / 2 * (h - 1)
+            # dense numeric integral via bilinear samples
+            xs = np.linspace(x0, x1, 40)
+            ys = np.linspace(y0, y1, 40)
+            tot = np.zeros(3)
+            for yy in ys:
+                iy0 = int(np.floor(yy)); fy = yy - iy0
+                for xx in xs:
+                    ix0 = int(np.floor(xx)); fx = xx - ix0
+                    v = (act[:, iy0, ix0] * (1 - fx) * (1 - fy)
+                         + act[:, iy0, ix0 + 1] * fx * (1 - fy)
+                         + act[:, iy0 + 1, ix0] * (1 - fx) * fy
+                         + act[:, iy0 + 1, ix0 + 1] * fx * fy)
+                    tot += v
+            brute = tot / (len(xs) * len(ys))
+            np.testing.assert_allclose(ours[i], brute, rtol=0.12, atol=0.02)
+
+    def test_sh_projection_constant(self):
+        bg = make_bg(res=32, init_val=0.5)
+        coeffs, conv = bg.get_spherical_harmonics(60)
+        # constant function: only the DC band is non-trivial
+        c = np.asarray(coeffs)
+        assert abs(c[0, 0] - 0.5 * math.sqrt(4 * math.pi)) < 0.25
+        assert np.abs(c[1:]).max() < 0.1
+
+    def test_sh_irradiance_of_constant_env(self):
+        # E for a constant envmap L0 is L0 (Lambertian convolution identity)
+        from nmf_tpu.ops import sh
+
+        bg = make_bg(res=32, init_val=0.8)
+        _, conv = bg.get_spherical_harmonics(80)
+        dirs = normalize(jnp.asarray(np.random.default_rng(2).normal(
+            size=(50, 3)), jnp.float32))
+        evaled = sh.eval_sh_bases(9, dirs)
+        E = np.asarray((np.asarray(conv)[None] * np.asarray(evaled)[..., None]
+                        ).sum(axis=1))
+        np.testing.assert_allclose(E, 0.8, atol=0.12)
+
+    def test_grad_flows_to_map(self):
+        bg = make_bg(res=16, init_val=0.2)
+        dirs = normalize(jnp.asarray([[0.5, 0.5, 0.2]]))
+
+        def loss(bg):
+            return bg(dirs, jnp.full((1,), -2.0)).sum()
+
+        g = jax.grad(loss)(bg)
+        assert float(jnp.abs(g.bg_mat).sum()) > 0
+
+    def test_tv_loss(self):
+        bg = make_bg(res=16)
+        assert float(bg.tv_loss()) >= 0

@@ -236,3 +236,40 @@ class TestGGX:
             jnp.asarray(r), jnp.asarray(r))
         integral = 2 * np.pi * float(np.mean(np.asarray(pdf)))
         assert integral == pytest.approx(1.0, abs=0.1)
+
+
+class TestNormalAxes:
+    def test_line_axis_normal_sign(self):
+        # ramp along line 0 (vecMode[0] = world z): density grows with +z
+        # -> normals must be -z
+        import jax.numpy as jnp
+        from nmf_tpu.fields.tensorf import FactorGrid
+
+        rf = small_field(numer_grad=True)
+        g = rf.grid_size[0]
+        planes = tuple(jnp.ones((16, g, g)) if i == 0 else jnp.zeros((16, g, g))
+                       for i in range(3))
+        ramp = jnp.broadcast_to(jnp.linspace(0, 1, g)[None, :], (16, g))
+        lines = (ramp, jnp.ones((16, g)), jnp.ones((16, g)))
+        rf = rf.replace(density_rf=FactorGrid(planes=planes, lines=lines))
+        xyz = jnp.asarray(np.random.default_rng(4).uniform(-1, 1, (50, 3)),
+                          dtype=jnp.float32)
+        norms = rf.compute_normals(xyz)
+        assert np.all(np.asarray(norms[:, 2]) < -0.99)
+
+    def test_plane_y_axis_normal_sign(self):
+        # ramp along plane 0's second axis (matMode[0][1] = world y)
+        import jax.numpy as jnp
+        from nmf_tpu.fields.tensorf import FactorGrid
+
+        rf = small_field(numer_grad=True)
+        g = rf.grid_size[0]
+        ramp = jnp.broadcast_to(jnp.linspace(0, 1, g)[None, :, None],
+                                (16, g, g))
+        planes = (ramp, jnp.zeros_like(ramp), jnp.zeros_like(ramp))
+        lines = tuple(jnp.ones_like(l) for l in rf.density_rf.lines)
+        rf = rf.replace(density_rf=FactorGrid(planes=planes, lines=lines))
+        xyz = jnp.asarray(np.random.default_rng(5).uniform(-1, 1, (50, 3)),
+                          dtype=jnp.float32)
+        norms = rf.compute_normals(xyz)
+        assert np.all(np.asarray(norms[:, 1]) < -0.99)

@@ -1,0 +1,144 @@
+"""End-to-end training tests (SURVEY.md section 4 oracle (e))."""
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+from nmf_tpu import config as config_lib
+from nmf_tpu import trainer
+from nmf_tpu.data.synthetic import make_sphere_dataset
+from nmf_tpu.fields.tensorf import init_tensorvm_split
+from nmf_tpu.models.tensorf import init_tensorf_shade
+from nmf_tpu.render import NMF, render
+from nmf_tpu.samplers.alphagrid import AlphaGridSampler
+
+
+def build_small(key, ds, grid=32, k_spr=48):
+    k1, k2 = jax.random.split(key)
+    rf = init_tensorvm_split(k1, ds["scene_bbox"], grid_size=[grid] * 3,
+                             N_voxel_init=grid ** 3, N_voxel_final=grid ** 3,
+                             upsamp_list=())
+    sampler = AlphaGridSampler(
+        alpha_mask=None, aabb=jnp.asarray(ds["scene_bbox"]),
+        near_far=tuple(ds["near_far"])).update(rf, init=True)
+    model = init_tensorf_shade(k2, rf.app_dim)
+    return NMF(rf=rf, sampler=sampler, model=model,
+               max_samples_per_ray=k_spr)
+
+
+class TestOverfit:
+    def test_tensorf_overfits_sphere(self):
+        """The minimum end-to-end slice must fit a simple scene quickly."""
+        ds = make_sphere_dataset(n_views=6, H=48, W=48)
+        key = jax.random.PRNGKey(0)
+        key, bk = jax.random.split(key)
+        nmf = build_small(bk, ds, grid=48, k_spr=96)
+
+        cfg = trainer.OptimConfig(n_iters=300)
+        tx = trainer.make_optimizer(nmf, cfg)
+        opt_state = tx.init(nmf)
+        step = trainer.make_train_step(tx)
+        weights = trainer.LossWeights(ori_lambda=0.0, pred_lambda=0.0)
+
+        samp = trainer.SimpleSampler(ds["all_rays"].shape[0], 1024)
+        rng = np.random.default_rng(0)
+        mse = 1.0
+        for it in range(100):
+            ids = samp.nextids()
+            key, sk = jax.random.split(key)
+            nmf, opt_state, metrics = step(
+                nmf, opt_state,
+                jnp.asarray(ds["all_rays"][ids]),
+                jnp.asarray(ds["all_rgbs"][ids]),
+                jnp.ones(3), sk, weights)
+            mse = float(metrics["photo_mse"])
+        psnr = -10 * np.log10(mse)
+        assert psnr > 20, f"overfit PSNR too low: {psnr:.2f}"
+
+    def test_render_eval_path(self):
+        ds = make_sphere_dataset(n_views=2, H=24, W=24)
+        key = jax.random.PRNGKey(1)
+        nmf = build_small(key, ds, grid=16, k_spr=32)
+        from nmf_tpu import eval as eval_lib
+
+        res = eval_lib.evaluate(nmf, ds, key, n_vis=1, chunk=288,
+                                compute_extra_metrics=True)
+        assert "psnr" in res and np.isfinite(res["psnr"])
+        assert "ssim" in res
+
+    def test_ckpt_roundtrip(self, tmp_path):
+        ds = make_sphere_dataset(n_views=1, H=16, W=16)
+        key = jax.random.PRNGKey(2)
+        nmf = build_small(key, ds, grid=16, k_spr=16)
+        from nmf_tpu import ckpt
+
+        p = tmp_path / "model.th"
+        ckpt.save(p, nmf, {"cfg": 1})
+        nmf2, cfg, _ = ckpt.load(p)
+        assert cfg == {"cfg": 1}
+        rays = jnp.asarray(ds["all_rays"][:64])
+        k = jax.random.PRNGKey(0)
+        out1, _ = render(nmf, rays, k, is_train=False)
+        out2, _ = render(nmf2, rays, k, is_train=False)
+        np.testing.assert_allclose(np.asarray(out1["rgb_map"]),
+                                   np.asarray(out2["rgb_map"]), atol=1e-6)
+
+    def test_schedule_event_reinit(self):
+        """Voxel upsampling mid-training must keep the step working."""
+        ds = make_sphere_dataset(n_views=2, H=16, W=16)
+        key = jax.random.PRNGKey(3)
+        k1, k2 = jax.random.split(key)
+        rf = init_tensorvm_split(k1, ds["scene_bbox"], grid_size=[16] * 3,
+                                 N_voxel_init=16 ** 3, N_voxel_final=24 ** 3,
+                                 upsamp_list=(2,))
+        sampler = AlphaGridSampler(
+            alpha_mask=None, aabb=jnp.asarray(ds["scene_bbox"]),
+            near_far=tuple(ds["near_far"]), update_list=(3,)).update(
+                rf, init=True)
+        model = init_tensorf_shade(k2, rf.app_dim)
+        nmf = NMF(rf=rf, sampler=sampler, model=model, max_samples_per_ray=16)
+
+        cfg = trainer.OptimConfig(n_iters=10)
+        tx = trainer.make_optimizer(nmf, cfg)
+        opt_state = tx.init(nmf)
+        step = trainer.make_train_step(tx, donate=False)
+        weights = trainer.LossWeights(ori_lambda=0.0, pred_lambda=0.0)
+        for it in range(5):
+            key, sk = jax.random.split(key)
+            nmf, opt_state, metrics = step(
+                nmf, opt_state, jnp.asarray(ds["all_rays"][:128]),
+                jnp.asarray(ds["all_rgbs"][:128]), jnp.ones(3), sk, weights)
+            new_nmf, changed = nmf.check_schedule(it + 1, 1)
+            nmf = new_nmf
+            if changed:
+                tx = trainer.make_optimizer(nmf, cfg)
+                opt_state = tx.init(nmf)
+                step = trainer.make_train_step(tx, donate=False)
+        assert nmf.rf.grid_size[0] > 16
+        assert np.isfinite(float(metrics["loss"]))
+
+
+class TestConfig:
+    def test_compose_defaults(self):
+        cfg = config_lib.compose([])
+        assert cfg["model"]["arch"]["_target_"].endswith("TensorNeRF")
+        assert cfg["model"]["arch"]["rf"]["_target_"].endswith("TensorVMSplit")
+
+    def test_group_override(self):
+        cfg = config_lib.compose(["model=tensorf"])
+        assert cfg["model"]["arch"]["model"]["_target_"].endswith("TensoRF")
+
+    def test_dotted_override(self):
+        cfg = config_lib.compose(["model.params.n_iters=123",
+                                  "field.app_dim=13"])
+        assert cfg["model"]["params"]["n_iters"] == 123
+        assert cfg["model"]["arch"]["rf"]["app_dim"] == 13
+
+    def test_numeric_coercion(self):
+        cfg = config_lib.compose([])
+        assert isinstance(cfg["model"]["params"]["pred_lambda"], float)
