@@ -52,11 +52,18 @@ def build_encoder(cfg):
 
 
 def build_brdf_sampler(cfg):
+    from .modules.brdf_samplers import BeckmannSampler, MultiSampler
+
     t = _target(cfg)
     if t.endswith("GGXSampler") or not t:
         return GGXSampler()
     if t.endswith("CosineLobeSampler"):
         return CosineLobeSampler()
+    if t.endswith("BeckmannSampler"):
+        return BeckmannSampler()
+    if t.endswith("MultiSampler"):
+        return MultiSampler(sampler_a=GGXSampler(),
+                            sampler_b=CosineLobeSampler())
     raise ValueError(f"unknown brdf sampler {t}")
 
 
@@ -83,6 +90,15 @@ def build_field(key, cfg, aabb, grid_size=None):
         if ds is not None:
             rf = rf.replace(distance_scale=float(ds))
         return rf
+    if t.endswith("HashGridRF") or t.endswith("TCNNRF"):
+        from .fields.hashgrid import init_hashgrid_rf
+
+        allowed = {"n_levels", "n_features", "log2_hashmap_size",
+                   "base_resolution", "finest_resolution", "app_dim",
+                   "hidden_w", "activation", "density_shift",
+                   "distance_scale", "step_ratio", "lr", "lr_net"}
+        kw2 = {k: v for k, v in kw.items() if k in allowed}
+        return init_hashgrid_rf(key, aabb, **kw2)
     raise ValueError(f"unknown field target {t}")
 
 

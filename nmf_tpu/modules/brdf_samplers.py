@@ -138,6 +138,82 @@ class GGXSampler:
 
 
 @struct.dataclass
+class BeckmannSampler:
+    """Beckmann NDF importance sampler (brdf_samplers/beckmann.py
+    semantics): theta_h = atan(sqrt(-a^2 ln(1 - u1)))."""
+    max_samples: int = struct.field(pytree_node=False, default=1024)
+
+    def sample(self, u1, u2, V, N, r1, r2):
+        R = N.shape[0]
+        z_up = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (R, 3))
+        x_up = jnp.broadcast_to(jnp.array([-1.0, 0.0, 0.0]), (R, 3))
+        up = jnp.where(jnp.abs(N[:, 2:3]) < 0.999, z_up, x_up)
+        tangent = normalize(jnp.cross(up, N))
+        bitangent = normalize(jnp.cross(N, tangent))
+        basis = jnp.stack([tangent, bitangent, N], axis=1)
+        a2 = jnp.clip(r1, 1e-3) ** 2
+        tan2 = -a2 * jnp.log(jnp.clip(1 - u1, 1e-8))
+        cos_t = 1.0 / jnp.sqrt(1 + tan2)
+        sin_t = jnp.sqrt(jnp.clip(1 - cos_t ** 2, 0))
+        phi = 2 * math.pi * u2
+        H_l = jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t],
+                        axis=-1)
+        H = jnp.einsum("rji,rj->ri", basis, H_l)
+        L = normalize(2.0 * (V * H).sum(-1, keepdims=True) * H - V)
+        sign = jnp.where((L * N).sum(-1, keepdims=True) > 0, 1.0, -1.0)
+        L = L * sign
+        L_l = jnp.einsum("rij,rj->ri", basis, L)
+        V_l = jnp.einsum("rij,rj->ri", basis, V)
+        logD = jnp.log(jnp.clip(
+            self.compute_prob(L_l, V_l, H_l, r1, r2), EPS))
+        return L, basis, jax.lax.stop_gradient(logD)
+
+    def compute_prob(self, dir_in, dir_out, halfvec, r1, r2):
+        a2 = jnp.clip(jnp.reshape(r1, (-1,)), 1e-3) ** 2
+        cos_h = jnp.clip(halfvec[:, 2], EPS, 1)
+        tan2 = (1 - cos_h ** 2) / jnp.clip(cos_h ** 2, EPS)
+        D = jnp.exp(-tan2 / a2) / (math.pi * a2 * cos_h ** 4)
+        VdotH = jnp.clip((dir_out * halfvec).sum(-1), EPS)
+        pdf = D * cos_h / (4 * VdotH)
+        return jnp.where(dir_in[:, 2] > 0, pdf, 0.0)
+
+
+@struct.dataclass
+class MultiSampler:
+    """Two-lobe mixture: half the rays from each sampler, pdf averaged
+    (brdf_samplers/multisampler.py:4-49 semantics)."""
+    sampler_a: Any = None
+    sampler_b: Any = None
+    max_samples: int = struct.field(pytree_node=False, default=1024)
+
+    def sample(self, u1, u2, V, N, r1, r2):
+        a = self.sampler_a if self.sampler_a is not None else GGXSampler()
+        b = self.sampler_b if self.sampler_b is not None else CosineLobeSampler()
+        La, basis, _ = a.sample(u1, u2, V, N, r1, r2)
+        Lb, _, _ = b.sample(u1, u2, V, N, r1, r2)
+        pick_a = (jnp.arange(La.shape[0]) % 2) == 0
+        L = jnp.where(pick_a[:, None], La, Lb)
+        L_l = jnp.einsum("rij,rj->ri", basis, L)
+        V_l = jnp.einsum("rij,rj->ri", basis, V)
+        H = normalize(V + L)
+        H_l = jnp.einsum("rij,rj->ri", basis, H)
+        pa = a.compute_prob(L_l, V_l, H_l, r1, r2)
+        pb = b.compute_prob(L_l, V_l, H_l, r1, r2)
+        pdf = (jnp.reshape(pa, (-1,)) + jnp.reshape(pb, (-1,))) / 2
+        logD = jnp.log(jnp.clip(pdf, EPS))
+        return L, basis, jax.lax.stop_gradient(logD)
+
+    def compute_prob(self, dir_in, dir_out, halfvec, r1, r2):
+        a = self.sampler_a if self.sampler_a is not None else GGXSampler()
+        b = self.sampler_b if self.sampler_b is not None else CosineLobeSampler()
+        pa = jnp.reshape(a.compute_prob(dir_in, dir_out, halfvec, r1, r2),
+                         (-1,))
+        pb = jnp.reshape(b.compute_prob(dir_in, dir_out, halfvec, r1, r2),
+                         (-1,))
+        return (pa + pb) / 2
+
+
+@struct.dataclass
 class CosineLobeSampler:
     """Cosine-hemisphere sampler (brdf_samplers/simple.py semantics)."""
     max_samples: int = struct.field(pytree_node=False, default=1024)

@@ -48,10 +48,14 @@ def _path_str(path):
 def label_for_path(s: str) -> str:
     """Map a pytree path to an optimizer group (the functional analogue of
     get_optparam_groups)."""
-    if s.startswith("rf/density_rf") or s.startswith("rf/app_rf"):
+    if s.startswith("rf/density_rf") or s.startswith("rf/app_rf") \
+            or s.startswith("rf/encoding"):
         return "rf_grid"
-    if s.startswith("rf/basis_mat") or s.startswith("rf/dbasis_mat"):
+    if s.startswith("rf/basis_mat") or s.startswith("rf/dbasis_mat") \
+            or s.startswith("rf/density_mlp") or s.startswith("rf/app_mlp"):
         return "rf_net"
+    if s.startswith("rf/fields"):  # ListRF composition: freeze (render-only)
+        return "frozen"
     if s.startswith("model/diffuse_module"):
         if s.endswith("diffuse_bias") or s.endswith("roughness_bias"):
             return "frozen"

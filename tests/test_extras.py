@@ -1,0 +1,248 @@
+"""Tests for hash-grid field, occupancy sampler, extra BRDF samplers,
+distortion loss, ListRF composition, RefNeRF, mesh export."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+AABB = np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]], dtype=np.float32)
+
+
+class TestHashGrid:
+    def make(self):
+        from nmf_tpu.fields.hashgrid import init_hashgrid_rf
+
+        return init_hashgrid_rf(jax.random.PRNGKey(0), AABB, n_levels=4,
+                                log2_hashmap_size=12, finest_resolution=64)
+
+    def test_density_and_app(self):
+        rf = self.make()
+        xyz = jnp.asarray(np.random.default_rng(0).uniform(-1.4, 1.4, (64, 4)),
+                          dtype=jnp.float32)
+        sig = rf.compute_densityfeature(xyz)
+        assert sig.shape == (64,) and bool(jnp.all(jnp.isfinite(sig)))
+        app = rf.compute_appfeature(xyz)
+        assert app.shape == (64, 24)
+
+    def test_normals_finite(self):
+        rf = self.make()
+        xyz = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (16, 3)),
+                          dtype=jnp.float32)
+        n = rf.compute_normals(xyz)
+        assert bool(jnp.all(jnp.isfinite(n)))
+
+    def test_trains_a_bit(self):
+        # hash field can fit a target density at a point cloud
+        import optax
+
+        rf = self.make()
+        rng = np.random.default_rng(2)
+        xyz = jnp.asarray(rng.uniform(-1, 1, (512, 3)), dtype=jnp.float32)
+        target = jnp.asarray((np.linalg.norm(np.asarray(xyz), axis=-1) < 0.5)
+                             .astype(np.float32) * 5)
+        tx = optax.adam(1e-2)
+        opt = tx.init(rf)
+
+        @jax.jit
+        def step(rf, opt):
+            def loss(rf):
+                return ((rf.compute_densityfeature(xyz) - target) ** 2).mean()
+
+            l, g = jax.value_and_grad(loss)(rf)
+            up, opt = tx.update(g, opt)
+            return optax.apply_updates(rf, up), opt, l
+
+        l0 = None
+        for i in range(60):
+            rf, opt, l = step(rf, opt)
+            if l0 is None:
+                l0 = float(l)
+        assert float(l) < 0.5 * l0
+
+
+class TestOccGrid:
+    def test_sampler(self):
+        from nmf_tpu.fields.tensorf import init_tensorvm_split
+        from nmf_tpu.samplers.occgrid import init_occgrid
+
+        rf = init_tensorvm_split(jax.random.PRNGKey(0), AABB,
+                                 grid_size=[16] * 3, N_voxel_init=16 ** 3,
+                                 N_voxel_final=16 ** 3, upsamp_list=())
+        s = init_occgrid(rf, grid_reso=32, near_far=(2.0, 6.0))
+        rays = jnp.asarray([[0.0, 0.0, -4.0, 0.0, 0.0, 1.0]] * 4)
+        out = s.sample(rays, key=jax.random.PRNGKey(0), is_train=True,
+                       max_samples_per_ray=32)
+        assert out["valid"].shape == (4, 32)
+        # occupancy thresholding: zeroing the grid culls everything
+        s2 = s.replace(density_grid=jnp.full_like(s.density_grid, -1.0))
+        out2 = s2.sample(rays, is_train=False, max_samples_per_ray=32)
+        assert not bool(out2["valid"].any())
+
+    def test_mark_untrained(self):
+        from nmf_tpu.fields.tensorf import init_tensorvm_split
+        from nmf_tpu.samplers.occgrid import init_occgrid
+
+        rf = init_tensorvm_split(jax.random.PRNGKey(0), AABB,
+                                 grid_size=[16] * 3, N_voxel_init=16 ** 3,
+                                 N_voxel_final=16 ** 3, upsamp_list=())
+        s = init_occgrid(rf, grid_reso=16)
+        pose = np.eye(4, dtype=np.float32)
+        pose[2, 3] = -4.0  # camera at -z looking +z (opencv)
+        intr = [[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]]
+        s2 = s.mark_untrained_grid(pose[None], intr, (64, 64))
+        # some cells must be marked unseen (-1)
+        assert float(s2.density_grid.min()) == -1.0
+
+
+class TestBRDFSamplers:
+    def _dirs(self, R=256, seed=0):
+        rng = np.random.default_rng(seed)
+        N = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (R, 3))
+        v = rng.normal(size=(R, 3)) + [0, 0, 2.0]
+        V = jnp.asarray(v / np.linalg.norm(v, axis=-1, keepdims=True),
+                        dtype=jnp.float32)
+        u1 = jnp.asarray(rng.uniform(size=(R,)), dtype=jnp.float32)
+        u2 = jnp.asarray(rng.uniform(size=(R,)), dtype=jnp.float32)
+        return N, V, u1, u2
+
+    def test_beckmann(self):
+        from nmf_tpu.modules.brdf_samplers import BeckmannSampler
+
+        N, V, u1, u2 = self._dirs()
+        r = jnp.full((256,), 0.2)
+        L, basis, logD = BeckmannSampler().sample(u1, u2, V, N, r, r)
+        assert np.all(np.isfinite(np.asarray(logD)))
+        assert np.all((np.asarray(L) * np.asarray(N)).sum(-1) > 0)
+
+    def test_multisampler(self):
+        from nmf_tpu.modules.brdf_samplers import (CosineLobeSampler,
+                                                   GGXSampler, MultiSampler)
+
+        N, V, u1, u2 = self._dirs(seed=1)
+        r = jnp.full((256,), 0.4)
+        ms = MultiSampler(sampler_a=GGXSampler(),
+                          sampler_b=CosineLobeSampler())
+        L, basis, logD = ms.sample(u1, u2, V, N, r, r)
+        assert np.all(np.isfinite(np.asarray(logD)))
+
+    def test_cosine_pdf_integral(self):
+        from nmf_tpu.modules.brdf_samplers import CosineLobeSampler
+
+        rng = np.random.default_rng(3)
+        M = 100000
+        dirs = rng.normal(size=(M, 3))
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        dirs[:, 2] = np.abs(dirs[:, 2])
+        pdf = CosineLobeSampler().compute_prob(
+            jnp.asarray(dirs, jnp.float32), None, None, None, None)
+        integral = 2 * np.pi * float(np.mean(np.asarray(pdf)))
+        assert integral == pytest.approx(1.0, abs=0.05)
+
+
+class TestDistortion:
+    def test_matches_n2_form(self):
+        from nmf_tpu.ops.losses import distortion_loss
+
+        rng = np.random.default_rng(4)
+        B, N = 3, 16
+        m = np.sort(rng.uniform(0, 4, (B, N)), axis=-1)
+        w = rng.uniform(0, 0.2, (B, N))
+        dt = rng.uniform(0, 0.1, (B, N))
+        ours = float(distortion_loss(jnp.asarray(m, jnp.float32),
+                                     jnp.asarray(w, jnp.float32),
+                                     jnp.asarray(dt, jnp.float32)))
+        ref = 0.0
+        for b in range(B):
+            ref += (w[b][:, None] * w[b][None, :]
+                    * np.abs(m[b][:, None] - m[b][None, :])).sum()
+            ref += (w[b] ** 2 * dt[b]).sum() / 3
+        assert ours == pytest.approx(ref, rel=1e-4)
+
+
+class TestListRF:
+    def test_composition(self):
+        from nmf_tpu.fields.listrf import make_listrf
+        from nmf_tpu.fields.tensorf import init_tensorvm_split
+
+        rfs = [init_tensorvm_split(jax.random.PRNGKey(i), AABB,
+                                   grid_size=[16] * 3,
+                                   N_voxel_init=16 ** 3,
+                                   N_voxel_final=16 ** 3, upsamp_list=())
+               for i in range(2)]
+        lrf = make_listrf(rfs, offsets=[[0, 0, 0], [0.5, 0, 0]])
+        xyz = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (32, 4)),
+                          dtype=jnp.float32)
+        sig = lrf.compute_densityfeature(xyz)
+        sig0 = rfs[0].compute_densityfeature(xyz)
+        assert np.all(np.asarray(sig) >= np.asarray(sig0) - 1e-5)
+        app = lrf.compute_appfeature(xyz)
+        assert app.shape == (32, 24)
+        n = lrf.compute_normals(xyz)
+        assert bool(jnp.all(jnp.isfinite(n)))
+
+
+class TestRefNeRF:
+    def test_shade(self):
+        from nmf_tpu.models.refnerf import init_refnerf
+
+        model = init_refnerf(jax.random.PRNGKey(0), 24)
+        M = 64
+        rng = np.random.default_rng(5)
+        xyz = jnp.asarray(rng.uniform(-1, 1, (M, 4)), jnp.float32)
+        feat = jnp.asarray(rng.normal(size=(M, 24)), jnp.float32)
+        dirs = jnp.asarray(rng.normal(size=(M, 3)), jnp.float32)
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        rgb, debug = model.shade(
+            xyz, xyz, feat, dirs, -dirs, jnp.ones(M) / M,
+            jnp.ones(M, bool), 8, None, None, None, False, 0,
+            jax.random.PRNGKey(1))
+        assert rgb.shape == (M, 3)
+        assert bool(jnp.all(jnp.isfinite(rgb)))
+        assert "spec" in debug
+
+
+class TestMeshExport:
+    def test_export(self, tmp_path):
+        from nmf_tpu.fields.tensorf import FactorGrid, init_tensorvm_split
+        from nmf_tpu.render import NMF
+        from nmf_tpu.scripts.export_mesh import export_mesh
+
+        rf = init_tensorvm_split(jax.random.PRNGKey(0), AABB,
+                                 grid_size=[16] * 3, N_voxel_init=16 ** 3,
+                                 N_voxel_final=16 ** 3, upsamp_list=())
+        # solid ball density: ramp lines toward center... use planes=1,
+        # lines shaped as bumps -> positive blob in the middle
+        g = 16
+        bump = jnp.exp(-((jnp.linspace(-1, 1, g)) ** 2) * 4)
+        planes = tuple(jnp.ones((16, g, g)) * 0.5 for _ in range(3))
+        lines = tuple(jnp.broadcast_to(bump[None], (16, g)) for _ in range(3))
+        rf = rf.replace(density_rf=FactorGrid(planes=planes, lines=lines),
+                        density_shift=0.0)
+
+        class FakeNMF:
+            pass
+
+        nmf = FakeNMF()
+        nmf.rf = rf
+        p = tmp_path / "mesh.ply"
+        verts, faces = export_mesh(nmf, str(p), reso=32, level=1.0)
+        assert len(verts) > 0 and len(faces) > 0
+        assert p.exists() and p.stat().st_size > 100
+
+
+class TestMarchingTets:
+    def test_sphere_oracle(self):
+        from nmf_tpu.ops.marching import marching_tets
+
+        n = 24
+        lin = np.linspace(-1, 1, n)
+        gx, gy, gz = np.meshgrid(lin, lin, lin, indexing="ij")
+        vol = 0.6 - np.sqrt(gx**2 + gy**2 + gz**2)  # inside positive
+        verts, faces = marching_tets(vol, level=0.0)
+        assert len(verts) > 100 and len(faces) > 100
+        # vertices should lie near the radius-0.6 sphere
+        scale = 2 / (n - 1)
+        world = verts * scale - 1
+        r = np.linalg.norm(world, axis=-1)
+        assert abs(r.mean() - 0.6) < 0.03
+        assert r.std() < 0.03
