@@ -17,6 +17,17 @@ sys.path.insert(0, str(Path(__file__).parent))
 
 import numpy as np
 
+
+def _enable_compile_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).parent / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+_enable_compile_cache()
+
 REFERENCE_A100_RAYS_PER_SEC = 4000.0
 
 

@@ -220,5 +220,5 @@ def build_nmf(key, arch_cfg: Dict, aabb, near_far, grid_size=None) -> NMF:
     return NMF(rf=rf, sampler=sampler, model=model, bg_module=bg,
                normal_module=normal_module, tonemap=tonemap,
                use_predicted_normals=use_pred,
-               predicted_normal_lambda=1.0 if use_pred else 0.0,
+               predicted_normal_lambda=jnp.asarray(1.0 if use_pred else 0.0),
                **top)

@@ -83,6 +83,15 @@ def compose(overrides: Optional[List[str]] = None,
     for group, name in selections.items():
         cfg[group] = load_group(group, str(name), config_dir)
 
+    # dual-scene training selects a second dataset with dataset2=<name>
+    rest2 = []
+    for k, v in rest:
+        if k == "dataset2":
+            cfg["dataset2"] = load_group("dataset", str(v), config_dir)
+        else:
+            rest2.append((k, v))
+    rest = rest2
+
     # the reference grafts the field config into model.arch.rf
     # (train.py:911: cfg.model.arch.rf = cfg.field)
     if "field" in cfg and "model" in cfg and "arch" in cfg.get("model", {}):

@@ -68,7 +68,8 @@ class NMF:
             lam = min(max(
                 (iteration / batch_mul - self.geonorm_iters)
                 / self.geonorm_interp_iters, 0.0), 1.0)
-            new = new.replace(predicted_normal_lambda=lam)
+            # keep it an array so leaf types stay stable across jit calls
+            new = new.replace(predicted_normal_lambda=jnp.asarray(lam))
         return new, changed
 
 
@@ -79,7 +80,8 @@ def render_just_bg(nmf: NMF, viewdirs, mipval, bg_cache=None):
 
 def render(nmf: NMF, rays, key, focal=1.0, is_train=False, bg_col=(1.0, 1.0, 1.0),
            recur=0, override_near=None, stepmul=1.0, tonemap=True,
-           gt_normals=None, start_mipval=None, draw_debug=False, bg_cache=None):
+           gt_normals=None, start_mipval=None, draw_debug=False, bg_cache=None,
+           ndc_ray=False):
     """Render a ray batch.
 
     rays: (B, 6). Returns (images dict, stats dict). All outputs have leading
@@ -93,9 +95,14 @@ def render(nmf: NMF, rays, key, focal=1.0, is_train=False, bg_col=(1.0, 1.0, 1.0
     # ---- sample points along rays (L1 sampler layer) ----
     k_spr = (nmf.max_samples_per_ray if recur == 0
              else nmf.recur_samples_per_ray)
-    samp = nmf.sampler.sample(
-        rays, key=keys[0], is_train=is_train, override_near=override_near,
-        stepmul=stepmul, max_samples_per_ray=k_spr, focal=focal)
+    sample_kwargs = dict(key=keys[0], is_train=is_train,
+                         max_samples_per_ray=k_spr, focal=focal)
+    if ndc_ray:
+        # NDC path (LLFF): linear z steps; recursion always uses world rays
+        samp = nmf.sampler.sample(rays, ndc_ray=(recur == 0), **sample_kwargs)
+    else:
+        samp = nmf.sampler.sample(rays, override_near=override_near,
+                                  stepmul=stepmul, **sample_kwargs)
     xyz = samp["xyz"]          # (B, K, 4)
     z_vals = samp["z_vals"]    # (B, K)
     dists = samp["dists"]      # (B, K)

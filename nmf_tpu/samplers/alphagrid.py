@@ -120,9 +120,44 @@ class AlphaGridSampler:
         return self.replace(alpha_mask=mask), jnp.asarray(new_aabb)
 
     # ------------------------------------------------------------------
+    def sample_ndc(self, rays, key=None, is_train=False, n_samples: int = -1,
+                   max_samples_per_ray: int = -1, focal: float = 1.0):
+        """NDC sampling: linear steps in z in [near, far] (reference
+        sample_ray_ndc, alphagrid.py:113-129). Used by LLFF scenes."""
+        N = n_samples if n_samples > 0 else self.n_samples
+        near, far = self.near_far
+        rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+        B = rays.shape[0]
+        interp = jnp.linspace(near, far, N)[None].repeat(B, 0)
+        if is_train and key is not None:
+            interp = interp + jax.random.uniform(key, (B, N)) * (
+                (far - near) / N)
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * interp[..., None]
+        valid = jnp.all((pts >= self.aabb[0]) & (pts <= self.aabb[1]),
+                        axis=-1)
+        norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        dists = jnp.concatenate(
+            [interp[:, 1:] - interp[:, :-1], jnp.zeros((B, 1))], -1) * norm
+        size = interp[..., None] / focal
+        xyz = jnp.concatenate([pts, size], axis=-1)
+        K = max_samples_per_ray
+        if K > 0 and K < N:
+            idx, keep = compact_topk(valid, K)
+            xyz = gather_rows(xyz, idx)
+            interp = jnp.take_along_axis(interp, idx, axis=1)
+            dists = jnp.take_along_axis(dists, idx, axis=1)
+            valid = jnp.take_along_axis(valid, idx, axis=1) & keep
+        return {"xyz": xyz, "z_vals": interp, "dists": dists, "valid": valid}
+
     def sample(self, rays, key=None, is_train=False, override_near=None,
                stepmul: float = 1.0, n_samples: int = -1,
-               max_samples_per_ray: int = -1, focal: float = 1.0):
+               max_samples_per_ray: int = -1, focal: float = 1.0,
+               ndc_ray: bool = False):
+        if ndc_ray:
+            return self.sample_ndc(rays, key=key, is_train=is_train,
+                                   n_samples=n_samples,
+                                   max_samples_per_ray=max_samples_per_ray,
+                                   focal=focal)
         """rays: (B, 6) -> padded samples.
 
         Returns dict with:

@@ -64,6 +64,10 @@ def reconstruction(cfg, log=print):
     logfolder = Path(cfg.get("basedir", "./log")) / expname
     logfolder.mkdir(parents=True, exist_ok=True)
     config_lib.save_config(cfg, logfolder / "config.yaml")
+    from .logging_utils import RunLogger
+
+    run_log = RunLogger(logfolder, echo=log)
+    log = run_log.info
 
     train_ds = load_dataset(cfg["dataset"], datadir, split="train")
     test_ds = load_dataset(cfg["dataset"], datadir, split="test")
@@ -97,7 +101,8 @@ def reconstruction(cfg, log=print):
         return tx, tx.init(nmf), trainer.make_train_step(
             tx, hdr=nmf.hdr,
             use_gt_normals=train_ds.get("all_norms") is not None,
-            donate=cfg.get("donate_buffers", True))
+            donate=cfg.get("donate_buffers", True),
+            ndc_ray=bool(cfg["dataset"].get("ndc_ray", False)))
 
     tx, opt_state, step_fn = init_optimizer(nmf)
 
@@ -152,9 +157,14 @@ def reconstruction(cfg, log=print):
             psnr = -10 * math.log10(max(mse, 1e-10))
             psnrs.append(psnr)
             elapsed = time.time() - t_start
+            rays_per_sec = rays_done / max(elapsed, 1e-9)
+            run_log.scalars(iteration, psnr=psnr,
+                            loss=float(metrics["loss"]),
+                            rays_per_sec=round(rays_per_sec, 1),
+                            n_valid_samples=int(metrics["n_valid_samples"]))
             log(f"iter {iteration:06d} psnr={psnr:.2f} "
                 f"loss={float(metrics['loss']):.5f} "
-                f"rays/s={rays_done / max(elapsed, 1e-9):.0f}")
+                f"rays/s={rays_per_sec:.0f}")
 
         # schedule events (train.py:806-813)
         new_nmf, changed = nmf.check_schedule(iteration + 1, 1)

@@ -176,11 +176,12 @@ class LossWeights(NamedTuple):
 
 
 def compute_loss(nmf: NMF, rays, rgb_gt, key, weights: LossWeights,
-                 bg_col, gt_normals=None, hdr=False):
+                 bg_col, gt_normals=None, hdr=False, ndc_ray=False):
     """Photometric + regularizer loss (train.py:578-712)."""
     bg_cache = (nmf.bg_module.prepare() if nmf.bg_module is not None else None)
     ims, stats = render(nmf, rays, key, is_train=True, bg_col=bg_col,
-                        gt_normals=gt_normals, bg_cache=bg_cache)
+                        gt_normals=gt_normals, bg_cache=bg_cache,
+                        ndc_ray=ndc_ray)
     rgb_map = ims["rgb_map"]
     B = rays.shape[0]
     if hdr:
@@ -214,7 +215,8 @@ def compute_loss(nmf: NMF, rays, rgb_gt, key, weights: LossWeights,
     return total, metrics
 
 
-def make_train_step(tx, hdr=False, use_gt_normals=False, donate=True):
+def make_train_step(tx, hdr=False, use_gt_normals=False, donate=True,
+                    ndc_ray=False):
     """Build the jitted train step closed over the optimizer."""
 
     def step(nmf: NMF, opt_state, rays, rgb_gt, bg_col, key,
@@ -222,7 +224,8 @@ def make_train_step(tx, hdr=False, use_gt_normals=False, donate=True):
         (loss, metrics), grads = jax.value_and_grad(
             compute_loss, has_aux=True)(
                 nmf, rays, rgb_gt, key, weights, bg_col,
-                gt_normals=gt_normals if use_gt_normals else None, hdr=hdr)
+                gt_normals=gt_normals if use_gt_normals else None, hdr=hdr,
+                ndc_ray=ndc_ray)
         updates, new_opt_state = tx.update(grads, opt_state, params=nmf)
         new_nmf = optax.apply_updates(nmf, updates)
         # NaN guard (train.py:710-711): skip the update if the loss went NaN
