@@ -74,7 +74,9 @@ class ERBrightSampler:
         jy = (iy + jax.random.uniform(k2, (n_rays,))) / h
         jx = (ix + jax.random.uniform(k3, (n_rays,))) / w
         th = jy * jnp.pi
-        ph = jx * 2 * jnp.pi - jnp.pi
+        # invert the envmap's column mapping: x = (phi mod 2pi - pi)/pi with
+        # x = 2*jx - 1  =>  phi = 2*pi*jx
+        ph = 2 * jnp.pi * jx
         dirs = jnp.stack([
             jnp.sin(th) * jnp.cos(ph),
             jnp.sin(th) * jnp.sin(ph),

@@ -246,3 +246,56 @@ class TestMarchingTets:
         r = np.linalg.norm(world, axis=-1)
         assert abs(r.mean() - 0.6) < 0.03
         assert r.std() < 0.03
+
+
+class TestNDC:
+    def test_ndc_sampling(self):
+        from nmf_tpu.fields.tensorf import init_tensorvm_split
+        from nmf_tpu.samplers.alphagrid import AlphaGridSampler
+
+        rf = init_tensorvm_split(jax.random.PRNGKey(0), AABB,
+                                 grid_size=[16] * 3, N_voxel_init=16 ** 3,
+                                 N_voxel_final=16 ** 3, upsamp_list=())
+        s = AlphaGridSampler(alpha_mask=None, aabb=jnp.asarray(AABB),
+                             near_far=(0.0, 1.0)).update(rf, init=True)
+        rays = jnp.asarray([[0.0, 0.0, 0.0, 0.1, 0.0, 0.9]] * 2)
+        out = s.sample(rays, key=jax.random.PRNGKey(1), is_train=True,
+                       ndc_ray=True, n_samples=64)
+        z = np.asarray(out["z_vals"])
+        assert z.min() >= 0.0 and z.max() <= 1.1
+        assert bool(out["valid"].any())
+
+
+class TestVisibility:
+    def test_visibility_mlp(self):
+        from nmf_tpu.modules.visibility import init_visibility_mlp
+
+        vm = init_visibility_mlp(jax.random.PRNGKey(0), 24)
+        rng = np.random.default_rng(0)
+        pts = jnp.asarray(rng.uniform(-1, 1, (32, 3)), jnp.float32)
+        dirs = jnp.asarray(rng.normal(size=(32, 3)), jnp.float32)
+        feats = jnp.asarray(rng.normal(size=(32, 24)), jnp.float32)
+        eterm, sigvis = vm(pts, dirs, feats)
+        assert sigvis.shape == (32,)
+        assert np.all((np.asarray(sigvis) >= 0) & (np.asarray(sigvis) <= 1))
+        l = vm.loss(pts, dirs, feats, jnp.ones(32, bool))
+        assert np.isfinite(float(l))
+
+    def test_bright_sampler(self):
+        from nmf_tpu.modules.bg import init_integral_equirect
+        from nmf_tpu.modules.visibility import ERBrightSampler
+
+        bg = init_integral_equirect(jax.random.PRNGKey(0), bg_resolution=32,
+                                    init_val=-3.0, activation="exp")
+        # brighten one direction band
+        mat = np.asarray(bg.bg_mat).copy()
+        mat[:, 16, 40:44] = 3.0
+        bg = bg.replace(bg_mat=jnp.asarray(mat))
+        dirs, pdf = ERBrightSampler().sample(jax.random.PRNGKey(1), bg, 512)
+        assert dirs.shape == (512, 3) and np.all(np.isfinite(np.asarray(pdf)))
+        # most samples should hit the bright band's azimuth range
+        phi = np.arctan2(np.asarray(dirs)[:, 1], np.asarray(dirs)[:, 0])
+        x = (phi % (2 * np.pi) - np.pi) / np.pi  # envmap column coordinate
+        col = (x + 1) / 2 * 64
+        frac = ((col > 38) & (col < 46)).mean()
+        assert frac > 0.5
