@@ -284,6 +284,83 @@ class TensorVMSplit:
         sig = self._contract_density(feats)
         return self.feature2density(sig) if activate else sig
 
+    def compute_all(self, xyz, with_normals=True):
+        """Fused field query: (density, app_features[, normals]) from ONE
+        stacked gather per factor.
+
+        The renderer queries density, appearance, and (for NMF) smoothed
+        density derivatives at the *same* coordinates. The reference issues
+        them as separate grid_sample calls (tensoRF.py:181-205 x3 call
+        sites); here the per-factor tables are concatenated channel-wise so
+        each corner lookup is a single gather -- ~3x fewer gathers forward
+        and ~3x fewer scatters backward, which dominate TPU cost.
+        """
+        coords = self.normalize_coord(xyz)[..., :3]
+        d_rf, a_rf = self.density_rf, self.app_rf
+        Cd = d_rf.n_comp
+        Ca = a_rf.n_comp
+        if with_normals:
+            kx, ky, k1 = self._dkernels()
+
+        planes, lines = [], []
+        for i in range(3):
+            dp = d_rf.planes[i]
+            parts_p = [dp, a_rf.planes[i]]
+            parts_l = [d_rf.lines[i], a_rf.lines[i]]
+            if with_normals:
+                parts_p += [conv2d_same(dp, kx), conv2d_same(dp, ky)]
+                parts_l += [conv1d_same(d_rf.lines[i], k1)]
+            planes.append(jnp.concatenate(parts_p, axis=0))
+            lines.append(jnp.concatenate(parts_l, axis=0))
+
+        uniform = (len({p.shape for p in planes}) == 1
+                   and len({l.shape for l in lines}) == 1)
+        pcs, lcs = [], []
+        if uniform:
+            pcoords = jnp.stack([
+                jnp.stack([coords[..., m0], coords[..., m1]], axis=-1)
+                for (m0, m1) in MAT_MODE])
+            lcoords = jnp.stack([coords[..., v] for v in VEC_MODE])
+            pc_all = jax.vmap(grid_sample_2d)(jnp.stack(planes), pcoords)
+            lc_all = jax.vmap(grid_sample_1d)(jnp.stack(lines), lcoords)
+            pcs = [pc_all[i] for i in range(3)]
+            lcs = [lc_all[i] for i in range(3)]
+        else:
+            for i in range(3):
+                m0, m1 = MAT_MODE[i]
+                v = VEC_MODE[i]
+                pcs.append(grid_sample_2d(planes[i], jnp.stack(
+                    [coords[..., m0], coords[..., m1]], axis=-1)))
+                lcs.append(grid_sample_1d(lines[i], coords[..., v]))
+
+        d_feats, a_feats = [], []
+        dgrads = [[], [], []]
+        for i in range(3):
+            m0, m1 = MAT_MODE[i]
+            v = VEC_MODE[i]
+            pc, lc = pcs[i], lcs[i]
+            p_d, l_d = pc[..., :Cd], lc[..., :Cd]
+            p_a, l_a = pc[..., Cd:Cd + Ca], lc[..., Cd:Cd + Ca]
+            d_feats.append(p_d * l_d)
+            a_feats.append(p_a * l_a)
+            if with_normals:
+                p_dx = pc[..., Cd + Ca:2 * Cd + Ca]
+                p_dy = pc[..., 2 * Cd + Ca:3 * Cd + Ca]
+                l_dl = lc[..., Cd + Ca:2 * Cd + Ca]
+                dgrads[m0].append(p_dx * l_d)
+                dgrads[m1].append(p_dy * l_d)
+                dgrads[v].append(p_d * l_dl)
+
+        sigma = self.feature2density(self._contract_density(d_feats))
+        app = jnp.dot(jnp.concatenate(a_feats, axis=-1), self.basis_mat,
+                      preferred_element_type=jnp.float32)
+        if not with_normals:
+            return sigma, app, None
+        g = jnp.stack([self._contract_density_grad(dgrads[j])
+                       for j in range(3)], axis=-1)
+        normals = safemath.normalize(-g)
+        return sigma, app, normals
+
     def compute_appfeature(self, xyz):
         coords = self.normalize_coord(xyz)[..., :3]
         feats = self.app_rf.query(coords)

@@ -114,20 +114,27 @@ def render(nmf: NMF, rays, key, focal=1.0, is_train=False, bg_col=(1.0, 1.0, 1.0
     xyz_normed = nmf.rf.normalize_coord(xyz_flat)
     viewdirs = jnp.broadcast_to(rays[:, None, 3:6], (B, K, 3))
 
-    # ---- density ----
-    sigma = nmf.rf.compute_densityfeature(xyz_flat).reshape(B, K)
+    # ---- field queries (fused where the field supports it) ----
+    needs_normals = nmf.model.needs_normals(recur)
+    fused = (hasattr(nmf.rf, "compute_all")
+             and (not needs_normals or getattr(nmf.rf, "numer_grad", False)))
+    if fused:
+        sigma_f, app_features, world_normal = nmf.rf.compute_all(
+            xyz_flat, with_normals=needs_normals)
+        sigma = sigma_f.reshape(B, K)
+    else:
+        sigma = nmf.rf.compute_densityfeature(xyz_flat).reshape(B, K)
+        app_features = nmf.rf.compute_appfeature(xyz_flat)  # (B*K, D)
+        world_normal = (nmf.rf.compute_normals(xyz_flat)
+                        if needs_normals else None)
+
     sigma = jnp.where(valid, sigma, 0.0)
     weight, bg_T = raw2alpha(sigma, dists * nmf.rf.distance_scale)
     if recur > 0 and nmf.detach_inter:
         weight = jax.lax.stop_gradient(weight)
     acc_map = weight.sum(axis=1)
 
-    # ---- appearance + normals ----
-    app_features = nmf.rf.compute_appfeature(xyz_flat)  # (B*K, D)
-
-    needs_normals = nmf.model.needs_normals(recur)
     if needs_normals:
-        world_normal = nmf.rf.compute_normals(xyz_flat)  # (B*K, 3)
         if nmf.normal_module is not None:
             pred_norms = nmf.normal_module(xyz_normed, app_features,
                                            world_normal)

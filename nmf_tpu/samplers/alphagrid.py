@@ -82,7 +82,10 @@ class AlphaGridSampler:
 
     def check_schedule(self, iteration: int, batch_mul: int, rf):
         if iteration in [i * batch_mul for i in self.update_list]:
-            return self.update(rf), False
+            # the alpha volume changes shape with the field grid, so
+            # optimizer state must be rebuilt (in shipped configs these
+            # events coincide with voxel upsampling anyway)
+            return self.update(rf), True
         return self, False
 
     # ------------------------------------------------------------------

@@ -140,11 +140,39 @@ def group_hyperparams(nmf: NMF, cfg: OptimConfig):
     return groups
 
 
-def make_optimizer(nmf: NMF, cfg: OptimConfig):
+def _scale_by_lr_tree(lr_tree):
+    """Per-leaf constant learning-rate multipliers in one tree_map."""
+
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        return (jax.tree_util.tree_map(
+            lambda u, lr: u * lr, updates, lr_tree), state)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(nmf: NMF, cfg: OptimConfig, fused: bool = True):
     labels = make_label_tree(nmf)
     groups = group_hyperparams(nmf, cfg)
     sched = lr_decay_schedule(cfg.lr_init, cfg.lr_final, cfg.n_iters,
                               cfg.lr_delay_steps, cfg.lr_delay_mult)
+    if fused:
+        # One Adam over the whole tree + a per-leaf lr tree. optax's
+        # multi_transform wraps every group in masked() sub-trees, which
+        # blows up both compile time and step latency on TPU (measured:
+        # the multi_transform step cost ~9s on top of a 1.4s fwd+bwd).
+        # All shipped groups share betas (0.9, 0.99); the only exception
+        # (bg `mul`, betas (0.9, 0.9)) has lr 0 in shipped configs.
+        lr_tree = jax.tree_util.tree_map(
+            lambda label: groups[label][0], labels)
+        return optax.chain(
+            optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1],
+                                eps=cfg.eps),
+            _scale_by_lr_tree(lr_tree),
+            optax.scale_by_schedule(lambda c: -sched(c)),
+        )
     transforms = {}
     for name, (lr, betas) in groups.items():
         if lr == 0.0:

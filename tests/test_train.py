@@ -142,3 +142,39 @@ class TestConfig:
     def test_numeric_coercion(self):
         cfg = config_lib.compose([])
         assert isinstance(cfg["model"]["params"]["pred_lambda"], float)
+
+
+class TestFusedOptimizer:
+    def test_fused_matches_multi_transform(self):
+        """The fused single-Adam optimizer must produce the same updates as
+        the reference-style multi_transform (same betas, frozen lr=0)."""
+        ds = make_sphere_dataset(n_views=1, H=16, W=16)
+        key = jax.random.PRNGKey(0)
+        nmf = build_small(key, ds, grid=16, k_spr=16)
+        cfg = trainer.OptimConfig(n_iters=100)
+        tx_f = trainer.make_optimizer(nmf, cfg, fused=True)
+        tx_m = trainer.make_optimizer(nmf, cfg, fused=False)
+        # synthetic gradient: ones everywhere
+        grads = jax.tree_util.tree_map(jnp.ones_like, nmf)
+        s_f = tx_f.init(nmf)
+        s_m = tx_m.init(nmf)
+        for _ in range(3):
+            u_f, s_f = tx_f.update(grads, s_f, params=nmf)
+            u_m, s_m = tx_m.update(grads, s_m, params=nmf)
+        for a, b in zip(jax.tree_util.tree_leaves(u_f),
+                        jax.tree_util.tree_leaves(u_m)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-8)
+
+    def test_frozen_leaves_stay_frozen(self):
+        ds = make_sphere_dataset(n_views=1, H=16, W=16)
+        key = jax.random.PRNGKey(1)
+        nmf = build_small(key, ds, grid=16, k_spr=16)
+        cfg = trainer.OptimConfig(n_iters=100)
+        tx = trainer.make_optimizer(nmf, cfg, fused=True)
+        grads = jax.tree_util.tree_map(jnp.ones_like, nmf)
+        state = tx.init(nmf)
+        updates, _ = tx.update(grads, state, params=nmf)
+        # sampler aabb / alpha volume and rf.aabb must receive zero update
+        assert float(jnp.abs(updates.rf.aabb).max()) == 0.0
+        assert float(jnp.abs(updates.sampler.aabb).max()) == 0.0
