@@ -78,7 +78,7 @@ def load_blender(datadir, split="train", downsample=1.0, white_bg=True,
 
     frames = meta["frames"]
     interval = 1 if n_vis < 0 else max(len(frames) // n_vis, 1)
-    all_rays, all_rgbs, all_norms, poses = [], [], [], []
+    all_rays, all_rgbs, all_norms, all_tints, poses = [], [], [], [], []
     for frame in frames[::interval]:
         pose = np.array(frame["transform_matrix"],
                         dtype=np.float32) @ BLENDER2OPENCV
@@ -102,12 +102,18 @@ def load_blender(datadir, split="train", downsample=1.0, white_bg=True,
                 nim = _imread(npath)[..., :3] * 2 - 1
                 nim = _resize(nim, (w, h))
                 all_norms.append(nim.reshape(-1, 3))
+            tpath = datadir / (fp.replace("r_", "tint_") + ext)
+            if tpath.exists():
+                tim = _resize(_imread(tpath)[..., :3], (w, h))
+                all_tints.append(tim.reshape(-1, 3))
 
     return {
         "all_rays": np.concatenate(all_rays, 0).astype(np.float32),
         "all_rgbs": np.concatenate(all_rgbs, 0).astype(np.float32),
         "all_norms": (np.concatenate(all_norms, 0).astype(np.float32)
                       if all_norms else None),
+        "all_tints": (np.concatenate(all_tints, 0).astype(np.float32)
+                      if all_tints else None),
         "poses": np.stack(poses),
         "img_wh": (w, h),
         "focal": fx,
@@ -124,7 +130,8 @@ def load_dataset(cfg_dataset, datadir, split="train", n_vis=-1):
         ds = load_blender(
             os.path.join(datadir, cfg_dataset["scenedir"]), split=split,
             downsample=cfg_dataset.get("downsample_train", 1.0),
-            white_bg=cfg_dataset.get("white_bg", True), n_vis=n_vis)
+            white_bg=cfg_dataset.get("white_bg", True), n_vis=n_vis,
+            load_normals=cfg_dataset.get("stack_norms", False))
     elif name == "llff":
         from .llff import load_llff
 

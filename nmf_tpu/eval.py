@@ -1,8 +1,18 @@
 """Image rendering and metric evaluation.
 
 Mirrors reference ``renderer.py``: chunk_renderer/BundleRender (:56-170) and
-evaluate (:194-534). Since the TPU sampler never drops rays (static budgets),
-the render-to-completion loop disappears; a plain chunked map suffices.
+evaluate (:194-534) including the per-map artifact layout (rgbd, normal,
+world_normal, normal_err, err, tint, spec, diffuse, roughness, acc_map,
+cross_section, albedo, surf_width subfolders), quantized PSNR
+(renderer.py:399-401), regression-aligned tint/envmap PSNR
+(renderer.py:338-348, integral_equirect.py:290-322), and the render_path
+orbit video. Since the TPU sampler never drops rays (static budgets), the
+render-to-completion loop disappears; a plain chunked map suffices.
+
+LPIPS note: the reference uses the ``lpips`` package (alex+vgg). Neither the
+package nor pretrained weights are available in this zero-egress image, so
+LPIPS is computed only when ``import lpips`` succeeds; otherwise the metric
+is omitted from the stats.
 """
 import math
 import os
@@ -16,11 +26,14 @@ import numpy as np
 from . import utils
 from .render import NMF, render
 
+EVAL_MAP_KEYS = ("rgb_map", "acc_map", "depth", "world_normal", "normal",
+                 "tint", "spec", "diffuse", "roughness", "albedo",
+                 "cross_section", "surf_width")
+
 
 def render_rays_chunked(nmf: NMF, rays, key, chunk=4096, draw_debug=True,
-                        keys=("rgb_map", "acc_map", "depth", "world_normal",
-                              "normal"),
-                        bg_col=(1.0, 1.0, 1.0), render_fn=None):
+                        keys=EVAL_MAP_KEYS, bg_col=(1.0, 1.0, 1.0),
+                        render_fn=None):
     """Render (N, 6) rays in fixed-size chunks (padding the tail chunk)."""
     N = rays.shape[0]
     n_chunks = (N + chunk - 1) // chunk
@@ -51,10 +64,7 @@ def render_image(nmf: NMF, rays, hw, key, chunk=4096, draw_debug=True,
     maps = render_rays_chunked(nmf, rays, key, chunk=chunk,
                                draw_debug=draw_debug, bg_col=bg_col,
                                render_fn=render_fn)
-    out = {}
-    for k, v in maps.items():
-        out[k] = v.reshape(H, W, *v.shape[1:])
-    return out
+    return {k: v.reshape(H, W, *v.shape[1:]) for k, v in maps.items()}
 
 
 def visualize_depth(depth, near_far=None):
@@ -65,18 +75,80 @@ def visualize_depth(depth, near_far=None):
     return np.stack([x, x, x], axis=-1)
 
 
+def regression_aligned_psnr(pred, gt):
+    """Fit pred -> gt with per-channel linear regression, then PSNR
+    (the reference's tint/envmap alignment, renderer.py:338-348)."""
+    X = np.asarray(pred).reshape(-1, 3)
+    Y = np.asarray(gt).reshape(-1, 3)
+    A = np.concatenate([X, np.ones((X.shape[0], 1))], axis=1)
+    coef, *_ = np.linalg.lstsq(A, Y, rcond=None)
+    err = np.clip(A @ coef - Y, -1, 1)
+    return float(-10 * np.log10(np.mean(err ** 2) + 1e-12))
+
+
+def calc_envmap_psnr(bg_module, gt_im, fH=500):
+    """Recovered envmap vs GT background panorama
+    (integral_equirect.py:290-322)."""
+    act = np.asarray(bg_module.activation_fn(bg_module.bg_mat))
+    pred = np.transpose(act, (1, 2, 0))
+    gt = np.asarray(gt_im, dtype=np.float32)
+    gW = gt.shape[1]
+    gt = gt[:, ::-1]
+    gt = np.concatenate([gt[:, gW // 2:], gt[:, :gW // 2]], axis=1)
+
+    def resize(im, hw):
+        try:
+            import cv2
+
+            return cv2.resize(im, (hw[1], hw[0]))
+        except ImportError:
+            from PIL import Image
+
+            sc = (np.clip(im, 0, 1) * 255).astype(np.uint8)
+            return np.asarray(
+                Image.fromarray(sc).resize((hw[1], hw[0]))) / 255.0
+
+    pred = resize(pred, (fH, 2 * fH))
+    gt = resize(gt[..., :3], (fH, 2 * fH))
+    return regression_aligned_psnr(pred, gt)
+
+
+def _maybe_lpips():
+    try:
+        import lpips  # noqa
+
+        return lpips
+    except Exception:
+        return None
+
+
+def _save_map(save_dir, sub, idx, img, prefix=""):
+    import imageio.v2 as imageio
+
+    d = Path(save_dir) / sub if sub else Path(save_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    arr = np.asarray(img)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, -1)
+    imageio.imwrite(d / f"{prefix}{idx:03d}.png",
+                    (np.clip(arr, 0, 1) * 255).astype(np.uint8))
+
+
 def evaluate(nmf: NMF, dataset, key, save_dir: Optional[str] = None,
              n_vis: int = -1, chunk: int = 4096, prefix: str = "",
-             compute_extra_metrics: bool = True):
-    """Per-image PSNR (8-bit-quantized, renderer.py:399-401), SSIM, plus
-    optional normal error when GT normals exist. Writes images + stats."""
+             compute_extra_metrics: bool = True, gt_bg=None,
+             save_all_maps: bool = True):
+    """Per-image metrics + full artifact dump (renderer.py:194-534)."""
     W, H = dataset["img_wh"]
     n_px = H * W
     n_images = dataset["all_rays"].shape[0] // n_px
     idxs = (range(n_images) if n_vis <= 0
             else range(0, n_images, max(n_images // n_vis, 1)))
 
-    stats = {"psnr": [], "ssim": [], "norm_err": []}
+    stats = {"psnr": [], "ssim": [], "norm_err": [], "tint_psnr": []}
+    lpips_mod = _maybe_lpips() if compute_extra_metrics else None
+    if lpips_mod is not None:
+        stats["l_alex"] = []
     if save_dir is not None:
         os.makedirs(save_dir, exist_ok=True)
 
@@ -97,6 +169,18 @@ def evaluate(nmf: NMF, dataset, key, save_dir: Optional[str] = None,
         stats["psnr"].append(utils.rgb_psnr(pred, gt))
         if compute_extra_metrics:
             stats["ssim"].append(float(utils.rgb_ssim(pred, gt, 1.0)))
+            if lpips_mod is not None:
+                import torch
+
+                loss_fn = getattr(evaluate, "_lpips_fn", None)
+                if loss_fn is None:
+                    loss_fn = lpips_mod.LPIPS(net="alex")
+                    evaluate._lpips_fn = loss_fn
+                a = torch.from_numpy(pred.transpose(2, 0, 1))[None] * 2 - 1
+                b = torch.from_numpy(np.asarray(gt, np.float32)
+                                     .transpose(2, 0, 1))[None] * 2 - 1
+                stats["l_alex"].append(float(loss_fn(a.float(), b.float())))
+
         if "all_norms" in dataset and dataset.get("all_norms") is not None:
             gtn = dataset["all_norms"][img_i * n_px:(img_i + 1) * n_px]
             gtn = gtn.reshape(H, W, 3)
@@ -104,20 +188,54 @@ def evaluate(nmf: NMF, dataset, key, save_dir: Optional[str] = None,
             pn = maps.get("world_normal")
             if pn is not None and mask.any():
                 cos = np.clip((pn * gtn).sum(-1), -1, 1)[mask]
-                stats["norm_err"].append(
-                    float(np.rad2deg(np.arccos(cos)).mean()))
-        if save_dir is not None:
-            import imageio.v2 as imageio
+                err_deg = np.rad2deg(np.arccos(cos))
+                stats["norm_err"].append(float(err_deg.mean()))
+                if save_dir is not None and save_all_maps:
+                    _save_map(save_dir, "normal_err", img_i,
+                              np.clip(err_deg / 90.0, 0, 1), prefix)
+        if ("all_tints" in dataset and dataset.get("all_tints") is not None
+                and "tint" in maps):
+            gtt = dataset["all_tints"][img_i * n_px:(img_i + 1) * n_px]
+            stats["tint_psnr"].append(regression_aligned_psnr(
+                maps["tint"].reshape(-1, 3), gtt))
 
-            imageio.imwrite(
-                Path(save_dir) / f"{prefix}{img_i:03d}.png",
-                (pred * 255).astype(np.uint8))
-            if "world_normal" in maps:
-                nim = np.clip((maps["world_normal"] + 1) / 2, 0, 1)
-                imageio.imwrite(Path(save_dir) / f"{prefix}{img_i:03d}_normal.png",
-                                (nim * 255).astype(np.uint8))
+        if save_dir is not None:
+            _save_map(save_dir, "", img_i, pred, prefix)
+            if save_all_maps:
+                err = ((pred - gt) ** 2).mean(-1)
+                _save_map(save_dir, "err", img_i,
+                          np.clip(err * 20, 0, 1), prefix)
+                if "depth" in maps:
+                    rgbd = np.concatenate(
+                        [pred, visualize_depth(maps["depth"],
+                                               dataset.get("near_far"))],
+                        axis=1)
+                    _save_map(save_dir, "rgbd", img_i, rgbd, prefix)
+                for k, sub in (("world_normal", "world_normal"),
+                               ("normal", "normal"),
+                               ("tint", "tint"), ("spec", "spec"),
+                               ("diffuse", "diffuse"),
+                               ("albedo", "albedo"),
+                               ("cross_section", "cross_section")):
+                    if k in maps:
+                        im = maps[k]
+                        if "normal" in k:
+                            im = (im + 1) / 2
+                        _save_map(save_dir, sub, img_i, im, prefix)
+                if "roughness" in maps:
+                    _save_map(save_dir, "roughness", img_i,
+                              maps["roughness"][..., 0], prefix)
+                if "acc_map" in maps:
+                    _save_map(save_dir, "acc_map", img_i, maps["acc_map"],
+                              prefix)
+                if "surf_width" in maps:
+                    _save_map(save_dir, "surf_width", img_i,
+                              np.clip(maps["surf_width"] / 64.0, 0, 1),
+                              prefix)
 
     summary = {k: float(np.mean(v)) for k, v in stats.items() if len(v)}
+    if gt_bg is not None and nmf.bg_module is not None:
+        summary["envmap_psnr_top"] = calc_envmap_psnr(nmf.bg_module, gt_bg)
     if save_dir is not None:
         import yaml
 
@@ -126,4 +244,57 @@ def evaluate(nmf: NMF, dataset, key, save_dir: Optional[str] = None,
                             for k, v in stats.items() if len(v)}, f)
         with open(Path(save_dir) / "mean.txt", "w") as f:
             f.write(str(summary))
+        if nmf.bg_module is not None and save_all_maps:
+            save_envmap(nmf.bg_module, Path(save_dir) / f"{prefix}pano.png")
     return summary
+
+
+def save_envmap(bg_module, path, tonemap=None):
+    """Dump the activated envmap (integral_equirect.py:362-371; png instead
+    of exr when no HDR writer is available)."""
+    import imageio.v2 as imageio
+
+    im = np.asarray(bg_module.activation_fn(bg_module.bg_mat))
+    im = np.transpose(im, (1, 2, 0))
+    if tonemap is not None:
+        im = tonemap(im)
+    path = Path(path)
+    if path.suffix == ".exr":
+        try:
+            imageio.imwrite(path, im.astype(np.float32))
+            return
+        except Exception:
+            path = path.with_suffix(".png")
+    imageio.imwrite(path, (np.clip(im, 0, 1) * 255).astype(np.uint8))
+
+
+def render_path(nmf: NMF, hw, focal, key, n_frames=60, radius=4.0,
+                phi_deg=-30.0, save_dir=None, chunk=4096,
+                bg_col=(1.0, 1.0, 1.0)):
+    """Orbit-path rendering (reference evaluation_path, renderer.py:537-582);
+    writes per-frame pngs (video assembly needs ffmpeg, absent here)."""
+    from .data.ray_utils import (get_ray_directions_blender, get_rays,
+                                 pose_spherical)
+
+    H, W = hw
+    directions = get_ray_directions_blender(H, W, [focal, focal])
+    directions = directions / np.linalg.norm(directions, axis=-1,
+                                             keepdims=True)
+    frames = []
+    render_fn = jax.jit(
+        lambda nmf, r, k, c: render(nmf, r, k, is_train=False,
+                                    bg_col=bg_col, draw_debug=False,
+                                    bg_cache=c)[0])
+    for i in range(n_frames):
+        theta = 360.0 * i / n_frames
+        c2w = pose_spherical(theta, phi_deg, radius)
+        rays_o, rays_d = get_rays(directions, c2w)
+        rays = np.concatenate([rays_o, rays_d], -1)
+        key, sk = jax.random.split(key)
+        maps = render_image(nmf, rays, (H, W), sk, chunk=chunk,
+                            render_fn=render_fn)
+        frame = np.clip(maps["rgb_map"], 0, 1)
+        frames.append(frame)
+        if save_dir is not None:
+            _save_map(save_dir, "path", i, frame)
+    return frames

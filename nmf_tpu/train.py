@@ -191,14 +191,26 @@ def reconstruction(cfg, log=print):
 
     ckpt_lib.save(logfolder / f"{expname}.th", nmf, cfg)
 
+    res = {}
     if cfg.get("render_test", True):
         key, ek = jax.random.split(key)
+        gt_bg = None
+        if cfg.get("gt_bg"):
+            import imageio.v2 as imageio
+
+            gt_bg = np.asarray(imageio.imread(cfg["gt_bg"]),
+                               dtype=np.float32)
         res = eval_lib.evaluate(nmf, test_ds, ek,
                                 save_dir=str(logfolder / "imgs_test_all"),
-                                n_vis=cfg.get("N_vis", -1))
+                                n_vis=cfg.get("N_vis", -1), gt_bg=gt_bg)
         log(f"final test: {res}")
-        return nmf, res
-    return nmf, {}
+    if cfg.get("render_path", False):
+        key, pk = jax.random.split(key)
+        W, H = test_ds["img_wh"]
+        eval_lib.render_path(nmf, (H, W), focal, pk,
+                             save_dir=str(logfolder / "imgs_path"))
+        log("render_path done")
+    return nmf, res
 
 
 def render_test(cfg, log=print):
