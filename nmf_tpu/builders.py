@@ -61,6 +61,10 @@ def build_brdf_sampler(cfg):
         return CosineLobeSampler()
     if t.endswith("BeckmannSampler"):
         return BeckmannSampler()
+    if t.endswith("SGGXSampler"):
+        from .modules.brdf_samplers import SGGXSampler
+
+        return SGGXSampler()
     if t.endswith("MultiSampler"):
         return MultiSampler(sampler_a=GGXSampler(),
                             sampler_b=CosineLobeSampler())
@@ -214,8 +218,13 @@ def build_nmf(key, arch_cfg: Dict, aabb, near_far, grid_size=None) -> NMF:
                "use_predicted_normals", "align_pred_norms",
                "orient_world_normals", "geonorm_iters",
                "geonorm_interp_iters", "eval_batch_size", "lr_scale",
-               "max_samples_per_ray", "recur_samples_per_ray"}
+               "max_samples_per_ray", "recur_samples_per_ray", "use_pallas"}
     top = {k: v for k, v in arch_cfg.items() if k in allowed}
+    # NOTE: the pallas composite kernel wins standalone (2.3x on
+    # transmittance fwd+bwd) but currently LOSES inside the full train graph
+    # (it blocks XLA fusion around the kernel boundary) -> opt-in only.
+    top.setdefault("use_pallas", False)
+
     use_pred = top.pop("use_predicted_normals", False) and normal_module is not None
     return NMF(rf=rf, sampler=sampler, model=model, bg_module=bg,
                normal_module=normal_module, tonemap=tonemap,

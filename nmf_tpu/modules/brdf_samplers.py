@@ -138,6 +138,94 @@ class GGXSampler:
 
 
 @struct.dataclass
+class SGGXSampler:
+    """SGGX microflake sampler (Heitz et al. 2015) with a surface-like
+    diagonal S = diag(r^2, r^2, 1) in the shading frame (reference
+    brdf_samplers/sggx.py semantics). Visible-normal sampling: build a
+    frame around the view direction, sample the projected ellipse."""
+    max_samples: int = struct.field(pytree_node=False, default=1024)
+
+    def sample(self, u1, u2, V, N, r1, r2):
+        R = N.shape[0]
+        z_up = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (R, 3))
+        x_up = jnp.broadcast_to(jnp.array([-1.0, 0.0, 0.0]), (R, 3))
+        up = jnp.where(jnp.abs(N[:, 2:3]) < 0.999, z_up, x_up)
+        tangent = normalize(jnp.cross(up, N))
+        bitangent = normalize(jnp.cross(N, tangent))
+        basis = jnp.stack([tangent, bitangent, N], axis=1)
+        V_l = jnp.einsum("rij,rj->ri", basis, V)
+
+        r2c = jnp.clip(r1, 1e-3)
+        # S in local frame: diag(r^2, r^2, 1)
+        sxx = r2c ** 2
+        szz = jnp.ones_like(sxx)
+        # frame around the view direction (wk = V_l)
+        wk_raw = jnp.cross(V_l, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]),
+                                                 V_l.shape))
+        wk = normalize(jnp.where(
+            jnp.abs(V_l[:, 2:3]) < 0.999, wk_raw,
+            jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), V_l.shape)))
+        wj = normalize(jnp.cross(wk, V_l))
+        wi_ = V_l
+
+        def S_dot(a, b):
+            return (sxx * (a[:, 0] * b[:, 0] + a[:, 1] * b[:, 1])
+                    + szz * a[:, 2] * b[:, 2])
+
+        Skk = jnp.clip(S_dot(wk, wk), EPS)
+        Skj = S_dot(wk, wj)
+        Ski = S_dot(wk, wi_)
+        Sjj = jnp.clip(S_dot(wj, wj), EPS)
+        Sji = S_dot(wj, wi_)
+        Sii = jnp.clip(S_dot(wi_, wi_), EPS)
+        # Cholesky-like construction (Heitz 2015, listing 2)
+        tmp = jnp.sqrt(jnp.clip(Sjj * Sii - Sji ** 2, EPS))
+        inv_sqrt_Sii = 1.0 / jnp.sqrt(Sii)
+        det = jnp.clip(Skk * Sjj * Sii - Skk * Sji ** 2 - Skj ** 2 * Sii
+                       + 2 * Skj * Sji * Ski - Ski ** 2 * Sjj, EPS)
+        Mk = jnp.stack([jnp.sqrt(det / (Sjj * Sii - Sji ** 2 + EPS)),
+                        jnp.zeros_like(Skk), jnp.zeros_like(Skk)], -1)
+        Mj = jnp.stack([-inv_sqrt_Sii * (Skj * Sii - Ski * Sji) / tmp,
+                        inv_sqrt_Sii * tmp, jnp.zeros_like(Skk)], -1)
+        Mi = jnp.stack([inv_sqrt_Sii * Ski, inv_sqrt_Sii * Sji,
+                        inv_sqrt_Sii * Sii], -1)
+        # sample the visible hemisphere
+        r = jnp.sqrt(u1)
+        phi = 2 * math.pi * u2
+        uu = r * jnp.cos(phi)
+        vv = r * jnp.sin(phi)
+        ww = jnp.sqrt(jnp.clip(1 - uu ** 2 - vv ** 2, 0))
+        H_vis = (uu[:, None] * Mk + vv[:, None] * Mj + ww[:, None] * Mi)
+        H_l = normalize(
+            H_vis[:, 0:1] * wk + H_vis[:, 1:2] * wj + H_vis[:, 2:3] * wi_)
+        H = jnp.einsum("rji,rj->ri", basis, H_l)
+        L = normalize(2.0 * (V * H).sum(-1, keepdims=True) * H - V)
+        sign = jnp.where((L * N).sum(-1, keepdims=True) > 0, 1.0, -1.0)
+        L = L * sign
+        L_l = jnp.einsum("rij,rj->ri", basis, L)
+        logD = jnp.log(jnp.clip(
+            self.compute_prob(L_l, V_l, H_l, r1, r2), EPS))
+        return L, basis, jax.lax.stop_gradient(logD)
+
+    def compute_prob(self, dir_in, dir_out, halfvec, r1, r2):
+        # SGGX NDF with diagonal S, pdf of reflected direction
+        r2c = jnp.clip(jnp.reshape(r1, (-1,)), 1e-3)
+        sxx = r2c ** 2
+        det_S = sxx * sxx  # * 1
+        hm = halfvec
+        quad = jnp.clip((hm[:, 0] ** 2 + hm[:, 1] ** 2) / sxx + hm[:, 2] ** 2,
+                        EPS)
+        D = 1.0 / (math.pi * jnp.sqrt(det_S) * quad ** 2)
+        # projected area of the flakes along dir_out ~ sqrt(o^T S o)
+        o = dir_out
+        sigma_o = jnp.sqrt(jnp.clip(
+            sxx * (o[:, 0] ** 2 + o[:, 1] ** 2) + o[:, 2] ** 2, EPS))
+        VdotH = jnp.clip((dir_out * halfvec).sum(-1), EPS)
+        pdf = D * VdotH / sigma_o / (4 * VdotH)
+        return jnp.where(dir_in[:, 2] > 0, pdf, 0.0)
+
+
+@struct.dataclass
 class BeckmannSampler:
     """Beckmann NDF importance sampler (brdf_samplers/beckmann.py
     semantics): theta_h = atan(sqrt(-a^2 ln(1 - u1)))."""

@@ -53,6 +53,8 @@ class NMF:
     # per-pass sample budgets (TPU static-shape knobs; None -> full N)
     max_samples_per_ray: int = struct.field(pytree_node=False, default=-1)
     recur_samples_per_ray: int = struct.field(pytree_node=False, default=-1)
+    # pallas kernels need a real TPU backend; builders auto-detect
+    use_pallas: bool = struct.field(pytree_node=False, default=False)
 
     def check_schedule(self, iteration: int, batch_mul: int = 1):
         """Host-side schedule tick. Returns (new_self, needs_optimizer_reinit)."""
@@ -129,7 +131,12 @@ def render(nmf: NMF, rays, key, focal=1.0, is_train=False, bg_col=(1.0, 1.0, 1.0
                         if needs_normals else None)
 
     sigma = jnp.where(valid, sigma, 0.0)
-    weight, bg_T = raw2alpha(sigma, dists * nmf.rf.distance_scale)
+    if nmf.use_pallas:
+        from .ops.pallas.composite import transmittance_weights
+
+        weight = transmittance_weights(sigma, dists * nmf.rf.distance_scale)
+    else:
+        weight, _ = raw2alpha(sigma, dists * nmf.rf.distance_scale)
     if recur > 0 and nmf.detach_inter:
         weight = jax.lax.stop_gradient(weight)
     acc_map = weight.sum(axis=1)

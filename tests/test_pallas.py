@@ -1,0 +1,71 @@
+"""Pallas kernel tests (interpret mode on CPU; parity + gradients)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nmf_tpu.ops.pallas import composite
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    """Run pallas_call in interpreter mode on CPU."""
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+    monkeypatch.setattr(composite.pl, "pallas_call", patched)
+    yield
+
+
+def _random_inputs(B=37, K=16, seed=0):
+    rng = np.random.default_rng(seed)
+    sigma = jnp.asarray(rng.uniform(0, 5, (B, K)), jnp.float32)
+    dists = jnp.asarray(rng.uniform(0, 0.2, (B, K)), jnp.float32)
+    rgb = jnp.asarray(rng.uniform(0, 1, (B, K, 3)), jnp.float32)
+    z = jnp.asarray(np.sort(rng.uniform(2, 6, (B, K)), -1), jnp.float32)
+    return sigma, dists, rgb, z
+
+
+class TestCompositeKernel:
+    def test_forward_parity(self):
+        args = _random_inputs()
+        w1, r1, a1, d1 = composite.composite_rays(*args)
+        w2, r2, a2, d2 = composite.composite_rays_reference(*args)
+        np.testing.assert_allclose(w1, w2, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(r1, r2, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(a1, a2, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(d1, d2, rtol=1e-4, atol=1e-5)
+
+    def test_backward_parity(self):
+        args = _random_inputs(B=19, K=8, seed=1)
+
+        def loss_k(sigma, rgb):
+            w, rm, a, d = composite.composite_rays(sigma, args[1], rgb,
+                                                   args[3])
+            return ((w * 0.3).sum() + (rm ** 2).sum() + (a * 0.7).sum()
+                    + (d * 0.1).sum())
+
+        def loss_r(sigma, rgb):
+            w, rm, a, d = composite.composite_rays_reference(
+                sigma, args[1], rgb, args[3])
+            return ((w * 0.3).sum() + (rm ** 2).sum() + (a * 0.7).sum()
+                    + (d * 0.1).sum())
+
+        gk = jax.grad(loss_k, argnums=(0, 1))(args[0], args[2])
+        gr = jax.grad(loss_r, argnums=(0, 1))(args[0], args[2])
+        np.testing.assert_allclose(gk[0], gr[0], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(gk[1], gr[1], rtol=1e-4, atol=1e-5)
+
+    def test_nonmultiple_batch(self):
+        # B not a multiple of the 128-lane block
+        args = _random_inputs(B=5, K=4, seed=2)
+        w1, r1, a1, d1 = composite.composite_rays(*args)
+        w2, r2, a2, d2 = composite.composite_rays_reference(*args)
+        np.testing.assert_allclose(w1, w2, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(r1, r2, rtol=1e-5, atol=1e-6)
