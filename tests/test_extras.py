@@ -367,3 +367,44 @@ class TestSGGX:
         # roughness (looser than GGX: the microflake construction keeps a
         # small visible-ellipse spread)
         assert np.median(cos) > 0.95
+
+
+class TestConverters:
+    def test_llff2nerf(self, tmp_path):
+        from nmf_tpu.scripts.llff2nerf import convert
+
+        rng = np.random.default_rng(0)
+        P = 4
+        poses = np.zeros((P, 3, 5))
+        poses[:, :, :4] = rng.normal(size=(P, 3, 4))
+        poses[:, 0, 4] = 120  # H
+        poses[:, 1, 4] = 160  # W
+        poses[:, 2, 4] = 100  # focal
+        pb = np.concatenate([poses.reshape(P, 15),
+                             rng.uniform(1, 5, (P, 2))], -1)
+        np.save(tmp_path / "poses_bounds.npy", pb)
+        (tmp_path / "images").mkdir()
+        import imageio.v2 as imageio
+
+        for i in range(P):
+            imageio.imwrite(tmp_path / "images" / f"{i:03d}.png",
+                            np.zeros((8, 8, 3), np.uint8))
+        meta = convert(tmp_path)
+        assert len(meta["frames"]) == P
+        assert (tmp_path / "transforms.json").exists()
+
+    def test_colmap2nerf(self, tmp_path):
+        from nmf_tpu.scripts.colmap2nerf import convert
+
+        (tmp_path / "sparse").mkdir()
+        with open(tmp_path / "sparse" / "cameras.txt", "w") as f:
+            f.write("# header\n1 PINHOLE 160 120 100 100 80 60\n")
+        with open(tmp_path / "sparse" / "images.txt", "w") as f:
+            f.write("# header\n")
+            for i in range(3):
+                f.write(f"{i+1} 1 0 0 0 {0.1*i} 0.2 0.3 1 im{i}.png\n")
+                f.write("0 0 0\n")
+        meta = convert(tmp_path / "sparse", out_path=tmp_path / "t.json")
+        assert len(meta["frames"]) == 3
+        m = np.array(meta["frames"][0]["transform_matrix"])
+        assert np.all(np.isfinite(m))
