@@ -98,6 +98,10 @@ class HashGridRF:
     separate_appgrid: bool = struct.field(pytree_node=False, default=False)
 
     @property
+    def fused_normals_ok(self) -> bool:
+        return True  # compute_all falls back to autodiff normals internally
+
+    @property
     def aabb_size(self):
         return self.aabb[1] - self.aabb[0]
 
@@ -143,6 +147,15 @@ class HashGridRF:
         feat = self._features(xyz)
         sig = self.feature2density(self.density_mlp(feat)[..., 0])
         return sig, self.app_mlp(feat)
+
+    def compute_all(self, xyz, with_normals=False):
+        """Fused query: one hash-encoding pass feeds both heads (the
+        renderer's fused path; normals fall back to autodiff)."""
+        feat = self._features(xyz)
+        sigma = self.feature2density(self.density_mlp(feat)[..., 0])
+        app = self.app_mlp(feat)
+        normals = self.compute_normals(xyz) if with_normals else None
+        return sigma, app, normals
 
     def compute_normals(self, xyz):
         def sig_fn(pts3):

@@ -220,6 +220,12 @@ class TensorVMSplit:
 
     # ---- derived geometry (host-side helpers, python floats) ----
     @property
+    def fused_normals_ok(self) -> bool:
+        """compute_all can produce normals only on the smoothed path; the
+        analytic (numer_grad=False) variant must go through autodiff."""
+        return self.numer_grad and not self.dbasis
+
+    @property
     def aabb_size(self):
         return self.aabb[1] - self.aabb[0]
 

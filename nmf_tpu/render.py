@@ -119,7 +119,8 @@ def render(nmf: NMF, rays, key, focal=1.0, is_train=False, bg_col=(1.0, 1.0, 1.0
     # ---- field queries (fused where the field supports it) ----
     needs_normals = nmf.model.needs_normals(recur)
     fused = (hasattr(nmf.rf, "compute_all")
-             and (not needs_normals or getattr(nmf.rf, "numer_grad", False)))
+             and (not needs_normals
+                  or getattr(nmf.rf, "fused_normals_ok", False)))
     if fused:
         sigma_f, app_features, world_normal = nmf.rf.compute_all(
             xyz_flat, with_normals=needs_normals)
