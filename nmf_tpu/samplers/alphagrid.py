@@ -30,8 +30,25 @@ class AlphaGridMask:
     aabb: Any          # (2, 3)
     alpha_volume: Any  # (D, H, W) float {0,1}; indexed [z, y, x]
 
-    def sample_alpha(self, xyz):
-        """xyz: (..., 3/4) world -> alpha (...)."""
+    def sample_alpha(self, xyz, nearest=True):
+        """xyz: (..., 3/4) world -> alpha (...).
+
+        nearest=True uses a single-gather nearest-cell lookup: the volume is
+        binary and already dilated by the 3x3x3 maxpool (alphagrid.py:256),
+        so nearest matches the trilinear > 0 test to within one texel at an
+        eighth of the gather cost."""
+        if nearest:
+            D, H, W = self.alpha_volume.shape
+            unit = (xyz[..., :3] - self.aabb[0]) / (
+                self.aabb[1] - self.aabb[0])
+            # align_corners grid: cell centers at i/(S-1)
+            iz = jnp.clip(jnp.round(unit[..., 2] * (D - 1)).astype(jnp.int32),
+                          0, D - 1)
+            iy = jnp.clip(jnp.round(unit[..., 1] * (H - 1)).astype(jnp.int32),
+                          0, H - 1)
+            ix = jnp.clip(jnp.round(unit[..., 0] * (W - 1)).astype(jnp.int32),
+                          0, W - 1)
+            return self.alpha_volume[iz, iy, ix]
         coords = (xyz[..., :3] - self.aabb[0]) * (
             2.0 / (self.aabb[1] - self.aabb[0])) - 1
         return grid_sample_3d(self.alpha_volume[None], coords)[..., 0]

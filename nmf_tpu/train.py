@@ -102,7 +102,8 @@ def reconstruction(cfg, log=print):
             tx, hdr=nmf.hdr,
             use_gt_normals=train_ds.get("all_norms") is not None,
             donate=cfg.get("donate_buffers", True),
-            ndc_ray=bool(cfg["dataset"].get("ndc_ray", False)))
+            ndc_ray=bool(cfg["dataset"].get("ndc_ray", False)),
+            charbonier=bool(params.get("charbonier_loss", False)))
 
     tx, opt_state, step_fn = init_optimizer(nmf)
 

@@ -204,7 +204,8 @@ class LossWeights(NamedTuple):
 
 
 def compute_loss(nmf: NMF, rays, rgb_gt, key, weights: LossWeights,
-                 bg_col, gt_normals=None, hdr=False, ndc_ray=False):
+                 bg_col, gt_normals=None, hdr=False, ndc_ray=False,
+                 charbonier=False):
     """Photometric + regularizer loss (train.py:578-712)."""
     bg_cache = (nmf.bg_module.prepare() if nmf.bg_module is not None else None)
     ims, stats = render(nmf, rays, key, is_train=True, bg_col=bg_col,
@@ -214,6 +215,9 @@ def compute_loss(nmf: NMF, rays, rgb_gt, key, weights: LossWeights,
     B = rays.shape[0]
     if hdr:
         photo = optax.losses.huber_loss(rgb_map, rgb_gt, delta=1.0).sum()
+    elif charbonier:
+        photo = jnp.sqrt((rgb_map - rgb_gt) ** 2
+                         + weights.charbonier_eps ** 2).sum()
     else:
         photo = ((jnp.clip(rgb_map, 0, 1) - jnp.clip(rgb_gt, 0, 1)) ** 2).sum()
 
@@ -244,7 +248,7 @@ def compute_loss(nmf: NMF, rays, rgb_gt, key, weights: LossWeights,
 
 
 def make_train_step(tx, hdr=False, use_gt_normals=False, donate=True,
-                    ndc_ray=False):
+                    ndc_ray=False, charbonier=False):
     """Build the jitted train step closed over the optimizer."""
 
     def step(nmf: NMF, opt_state, rays, rgb_gt, bg_col, key,
@@ -253,7 +257,7 @@ def make_train_step(tx, hdr=False, use_gt_normals=False, donate=True,
             compute_loss, has_aux=True)(
                 nmf, rays, rgb_gt, key, weights, bg_col,
                 gt_normals=gt_normals if use_gt_normals else None, hdr=hdr,
-                ndc_ray=ndc_ray)
+                ndc_ray=ndc_ray, charbonier=charbonier)
         updates, new_opt_state = tx.update(grads, opt_state, params=nmf)
         new_nmf = optax.apply_updates(nmf, updates)
         # NaN guard (train.py:710-711): skip the update if the loss went NaN
