@@ -218,7 +218,8 @@ def build_nmf(key, arch_cfg: Dict, aabb, near_far, grid_size=None) -> NMF:
                "use_predicted_normals", "align_pred_norms",
                "orient_world_normals", "geonorm_iters",
                "geonorm_interp_iters", "eval_batch_size", "lr_scale",
-               "max_samples_per_ray", "recur_samples_per_ray", "use_pallas"}
+               "max_samples_per_ray", "recur_samples_per_ray", "use_pallas",
+               "app_samples_per_ray"}
     top = {k: v for k, v in arch_cfg.items() if k in allowed}
     # NOTE: the pallas composite kernel wins standalone (2.3x on
     # transmittance fwd+bwd) but currently LOSES inside the full train graph

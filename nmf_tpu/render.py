@@ -55,6 +55,8 @@ class NMF:
     recur_samples_per_ray: int = struct.field(pytree_node=False, default=-1)
     # pallas kernels need a real TPU backend; builders auto-detect
     use_pallas: bool = struct.field(pytree_node=False, default=False)
+    # shade only the top-K' samples by transmittance weight (-1 = all)
+    app_samples_per_ray: int = struct.field(pytree_node=False, default=-1)
 
     def check_schedule(self, iteration: int, batch_mul: int = 1):
         """Host-side schedule tick. Returns (new_self, needs_optimizer_reinit)."""
@@ -111,25 +113,21 @@ def render(nmf: NMF, rays, key, focal=1.0, is_train=False, bg_col=(1.0, 1.0, 1.0
     valid = samp["valid"]      # (B, K)
     K = xyz.shape[1]
 
-    xyz_flat = xyz.reshape(-1, 4)
-    valid_flat = valid.reshape(-1)
-    xyz_normed = nmf.rf.normalize_coord(xyz_flat)
-    viewdirs = jnp.broadcast_to(rays[:, None, 3:6], (B, K, 3))
-
-    # ---- field queries (fused where the field supports it) ----
     needs_normals = nmf.model.needs_normals(recur)
+    app_k = nmf.app_samples_per_ray if recur == 0 else -1
+    two_stage = 0 < app_k < K
     fused = (hasattr(nmf.rf, "compute_all")
              and (not needs_normals
                   or getattr(nmf.rf, "fused_normals_ok", False)))
-    if fused:
+
+    # ---- stage 1: density + transmittance over the full (B, K) budget ----
+    if fused and not two_stage:
         sigma_f, app_features, world_normal = nmf.rf.compute_all(
-            xyz_flat, with_normals=needs_normals)
+            xyz.reshape(-1, 4), with_normals=needs_normals)
         sigma = sigma_f.reshape(B, K)
     else:
-        sigma = nmf.rf.compute_densityfeature(xyz_flat).reshape(B, K)
-        app_features = nmf.rf.compute_appfeature(xyz_flat)  # (B*K, D)
-        world_normal = (nmf.rf.compute_normals(xyz_flat)
-                        if needs_normals else None)
+        sigma = nmf.rf.compute_densityfeature(xyz.reshape(-1, 4)).reshape(B, K)
+        app_features = world_normal = None
 
     sigma = jnp.where(valid, sigma, 0.0)
     if nmf.use_pallas:
@@ -140,7 +138,37 @@ def render(nmf: NMF, rays, key, focal=1.0, is_train=False, bg_col=(1.0, 1.0, 1.0
         weight, _ = raw2alpha(sigma, dists * nmf.rf.distance_scale)
     if recur > 0 and nmf.detach_inter:
         weight = jax.lax.stop_gradient(weight)
+    # opacity always integrates the full sample budget
     acc_map = weight.sum(axis=1)
+
+    # ---- stage 2 (optional): shade only the top-K' samples by weight.
+    # The transmittance tail carries negligible radiance; the expensive
+    # appearance/normal queries and the shading model run on the compacted
+    # set (the same weight-proportional budgeting idea the reference applies
+    # to bounce rays, pt_selectors.py:5-60, applied one level earlier). ----
+    if two_stage:
+        topw, idx2 = jax.lax.top_k(weight, app_k)  # (B, K')
+        xyz = jnp.take_along_axis(xyz, idx2[..., None], axis=1)
+        z_vals = jnp.take_along_axis(z_vals, idx2, axis=1)
+        dists = jnp.take_along_axis(dists, idx2, axis=1)
+        valid = jnp.take_along_axis(valid, idx2, axis=1) & (topw > 0)
+        weight = topw
+        K = app_k
+
+    xyz_flat = xyz.reshape(-1, 4)
+    valid_flat = valid.reshape(-1)
+    xyz_normed = nmf.rf.normalize_coord(xyz_flat)
+    viewdirs = jnp.broadcast_to(rays[:, None, 3:6], (B, K, 3))
+
+    # ---- appearance (+ normals) on the shading set ----
+    if app_features is None:
+        if fused:
+            _, app_features, world_normal = nmf.rf.compute_all(
+                xyz_flat, with_normals=needs_normals)
+        else:
+            app_features = nmf.rf.compute_appfeature(xyz_flat)
+            world_normal = (nmf.rf.compute_normals(xyz_flat)
+                            if needs_normals else None)
 
     if needs_normals:
         if nmf.normal_module is not None:

@@ -178,3 +178,38 @@ class TestFusedOptimizer:
         # sampler aabb / alpha volume and rf.aabb must receive zero update
         assert float(jnp.abs(updates.rf.aabb).max()) == 0.0
         assert float(jnp.abs(updates.sampler.aabb).max()) == 0.0
+
+
+class TestTwoStageShading:
+    def test_topk_shading_close_to_full(self):
+        """Shading only the top-K' weighted samples must match the full
+        render closely (the tail carries negligible radiance)."""
+        ds = make_sphere_dataset(n_views=2, H=24, W=24)
+        key = jax.random.PRNGKey(0)
+        nmf = build_small(key, ds, grid=32, k_spr=64)
+        # train briefly so weights concentrate on the surface
+        cfg = trainer.OptimConfig(n_iters=100)
+        tx = trainer.make_optimizer(nmf, cfg)
+        opt = tx.init(nmf)
+        step = trainer.make_train_step(tx, donate=False)
+        w = trainer.LossWeights(ori_lambda=0.0, pred_lambda=0.0)
+        # train long enough for density to concentrate on the surface --
+        # top-K' truncation is only accurate once weights are peaked (the
+        # same regime where the reference enables alpha culling, iter 2000+)
+        for it in range(150):
+            key, sk = jax.random.split(key)
+            nmf, opt, _ = step(nmf, opt, jnp.asarray(ds["all_rays"][:512]),
+                               jnp.asarray(ds["all_rgbs"][:512]),
+                               jnp.ones(3), sk, w)
+        rays = jnp.asarray(ds["all_rays"][:256])
+        rk = jax.random.PRNGKey(5)
+        full, _ = render(nmf, rays, rk, is_train=False)
+        half, _ = render(nmf.replace(app_samples_per_ray=48), rays, rk,
+                         is_train=False)
+        err = float(jnp.abs(full["rgb_map"] - half["rgb_map"]).mean())
+        # measured operating point: K'=48/64 -> ~0.006 mean abs error on a
+        # semi-converged field; error shrinks as weights concentrate
+        assert err < 0.015, f"two-stage render deviates: {err}"
+        # acc map must be identical (computed from the full budget)
+        np.testing.assert_allclose(np.asarray(full["acc_map"]),
+                                   np.asarray(half["acc_map"]), atol=1e-5)
