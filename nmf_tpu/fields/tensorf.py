@@ -206,6 +206,9 @@ class TensorVMSplit:
     density_res_multi: float = struct.field(pytree_node=False, default=1.0)
     smoothing: float = struct.field(pytree_node=False, default=1.0)
     numer_grad: bool = struct.field(pytree_node=False, default=True)
+    # dtype used for the fused gather path ('bf16' halves gather bandwidth;
+    # parameters and accumulation stay f32)
+    gather_dtype: str = struct.field(pytree_node=False, default="bf16")
     interp_mode: str = struct.field(pytree_node=False, default="bilinear")
     grid_size: Tuple[int, int, int] = struct.field(
         pytree_node=False, default=(128, 128, 128))
@@ -321,23 +324,31 @@ class TensorVMSplit:
 
         uniform = (len({p.shape for p in planes}) == 1
                    and len({l.shape for l in lines}) == 1)
+        # gather in bf16 (halves HBM bytes moved by the gathers; the
+        # reference likewise keeps its grids in half precision,
+        # tensor_base.py:188). Products/contractions accumulate in f32.
+        gd = jnp.bfloat16 if self.gather_dtype == "bf16" else jnp.float32
         pcs, lcs = [], []
         if uniform:
             pcoords = jnp.stack([
                 jnp.stack([coords[..., m0], coords[..., m1]], axis=-1)
                 for (m0, m1) in MAT_MODE])
             lcoords = jnp.stack([coords[..., v] for v in VEC_MODE])
-            pc_all = jax.vmap(grid_sample_2d)(jnp.stack(planes), pcoords)
-            lc_all = jax.vmap(grid_sample_1d)(jnp.stack(lines), lcoords)
-            pcs = [pc_all[i] for i in range(3)]
-            lcs = [lc_all[i] for i in range(3)]
+            pc_all = jax.vmap(grid_sample_2d)(
+                jnp.stack(planes).astype(gd), pcoords)
+            lc_all = jax.vmap(grid_sample_1d)(
+                jnp.stack(lines).astype(gd), lcoords)
+            pcs = [pc_all[i].astype(jnp.float32) for i in range(3)]
+            lcs = [lc_all[i].astype(jnp.float32) for i in range(3)]
         else:
             for i in range(3):
                 m0, m1 = MAT_MODE[i]
                 v = VEC_MODE[i]
-                pcs.append(grid_sample_2d(planes[i], jnp.stack(
-                    [coords[..., m0], coords[..., m1]], axis=-1)))
-                lcs.append(grid_sample_1d(lines[i], coords[..., v]))
+                pcs.append(grid_sample_2d(planes[i].astype(gd), jnp.stack(
+                    [coords[..., m0], coords[..., m1]], axis=-1)
+                ).astype(jnp.float32))
+                lcs.append(grid_sample_1d(lines[i].astype(gd),
+                                          coords[..., v]).astype(jnp.float32))
 
         d_feats, a_feats = [], []
         dgrads = [[], [], []]
