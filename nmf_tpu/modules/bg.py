@@ -27,66 +27,65 @@ EPS = float(jnp.finfo(jnp.float32).eps)
 SAT_SCALE = 1000.0
 
 
-def _with_x(c, x):
-    return jnp.stack([x, c[..., 1]], axis=-1)
+# columns of periodic padding on each side of the SAT; covers the widest
+# box half-width the mip clip allows (2^7/h/2 normalized -> ~32 px) plus
+# slack, so seam-crossing boxes never need a second rectangle
+SAT_PAD = 72
 
 
-def _rects_lr(bl, br, tl, tr, mask):
-    """Expand one rectangle into its base + left/right wrapped pieces.
-    Returns a list of (bl, br, tl, tr, mask) tuples (integral_equirect.py:
-    42-93, branch-free: every piece is always evaluated, masked)."""
-    ones = jnp.ones_like(bl[..., 0])
-    exceed_r = (tr[..., 0] > 1) & mask
-    exceed_l = (bl[..., 0] < -1) & mask
-    return [
-        (bl, br, tl, tr, mask),
-        (_with_x(bl, -ones), _with_x(br, br[..., 0] - 2),
-         _with_x(tl, -ones), _with_x(tr, tr[..., 0] - 2), exceed_r),
-        (_with_x(bl, bl[..., 0] + 2), _with_x(br, ones),
-         _with_x(tl, tl[..., 0] + 2), _with_x(tr, ones), exceed_l),
-    ]
+def _integrate_area_wrap(bl, br, tl, tr, size, cum_mat, W):
+    """Wrapped SAT box integral via a periodically-padded table.
 
+    The reference handles the azimuthal seam by adding left/right wrapped
+    rectangles (integral_equirect.py:42-93, 3x the rectangles); here the SAT
+    is built over a horizontally wrap-padded map, so a box crossing the seam
+    is a single rectangle in the extended domain. 3 rectangles total
+    (base + 2 pole-overhang pieces) -> 12 corner lookups in one gather,
+    instead of the reference's 36 grid_sample calls.
 
-def _integrate_area_wrap(bl, br, tl, tr, size, cum_mat):
-    """Full wrapped SAT box integral (integral_equirect.py:18-173).
-
-    All 9 rectangle pieces (base/left/right x base/top-pole/bottom-pole) are
-    collected and their 36 corner lookups batched into a single gather --
-    the reference issues 36 separate grid_sample calls, which bloats both
-    kernel count and compile time.
+    Corner coords are normalized to the ORIGINAL W columns; W is the
+    unpadded width. cum_mat has width W + 2*SAT_PAD.
     """
     ones = jnp.ones_like(bl[..., 0])
     true = jnp.ones_like(bl[..., 0], dtype=bool)
+    E = SAT_PAD
+    We = W + 2 * E
 
-    rects = _rects_lr(bl, br, tl, tr, true)
+    def to_ext(c):
+        # original col = (x+1)/2*(W-1); extended normalized over We columns
+        col = (c[..., 0] + 1) * 0.5 * (W - 1) + E
+        x_ext = 2 * col / (We - 1) - 1
+        y = jnp.clip(c[..., 1], -1, 1)
+        return jnp.stack([x_ext, y], axis=-1)
+
+    rects = [(bl, br, tl, tr, true)]
 
     # pole overhang pieces: mirror across the pole by rotating 180 degrees
     # in azimuth and integrating the overhang strip (:96-173)
     exceed_t = tl[..., 1] > 1
     rot_t = jnp.where(tl[..., 0] > 0, -1.0, 1.0)
     overhang_t = jnp.clip(tl[..., 1] - 1, 0, 0.5)
-    rects += _rects_lr(
+    rects.append((
         jnp.stack([bl[..., 0] + rot_t, ones - overhang_t], -1),
         jnp.stack([br[..., 0] + rot_t, ones - overhang_t], -1),
         jnp.stack([tl[..., 0] + rot_t, ones], -1),
-        jnp.stack([tr[..., 0] + rot_t, ones], -1), exceed_t)
+        jnp.stack([tr[..., 0] + rot_t, ones], -1), exceed_t))
 
     exceed_b = bl[..., 1] < -1
     rot_b = jnp.where(tl[..., 0] > 0, -1.0, 1.0)
     overhang_b = jnp.clip(-1 - bl[..., 1], 0, 0.5)
-    rects += _rects_lr(
+    rects.append((
         jnp.stack([bl[..., 0] + rot_b, -ones], -1),
         jnp.stack([br[..., 0] + rot_b, -ones], -1),
         jnp.stack([tl[..., 0] + rot_b, -ones + overhang_b], -1),
-        jnp.stack([tr[..., 0] + rot_b, -ones + overhang_b], -1), exceed_b)
+        jnp.stack([tr[..., 0] + rot_b, -ones + overhang_b], -1), exceed_b))
 
-    # one batched gather over all rects x corners
-    corners = jnp.stack([jnp.stack([r[c] for r in rects])  # (9, N, 2)
-                         for c in range(4)])               # (4, 9, N, 2)
-    vals = grid_sample_2d(cum_mat, jnp.clip(corners, -1, 1))  # (4, 9, N, 3)
+    corners = jnp.stack([jnp.stack([to_ext(r[c]) for r in rects])
+                         for c in range(4)])  # (4, 3, N, 2)
+    vals = grid_sample_2d(cum_mat, jnp.clip(corners, -1, 1))  # (4, 3, N, 3)
     blv, brv, tlv, trv = vals[0], vals[1], vals[2], vals[3]
-    per_rect = (trv + blv - tlv - brv) / size[None, :, None]  # (9, N, 3)
-    masks = jnp.stack([r[4] for r in rects])  # (9, N)
+    per_rect = (trv + blv - tlv - brv) / size[None, :, None]
+    masks = jnp.stack([r[4] for r in rects])
     return jnp.where(masks[..., None], per_rect, 0.0).sum(axis=0)
 
 
@@ -137,7 +136,15 @@ class IntegralEquirect:
         reference recomputes both the SAT and the SH projection inside every
         forward, integral_equirect.py:431-433 / microfacet.py:304-318)."""
         activated = self.activation_fn(self.bg_mat)  # (3, H, W)
-        cum = jnp.cumsum(jnp.cumsum(activated / SAT_SCALE, axis=1), axis=2)
+        # periodic column padding so seam-crossing boxes are one rectangle
+        E = min(SAT_PAD, activated.shape[-1] // 2)
+        ext = jnp.concatenate([activated[..., -E:], activated,
+                               activated[..., :E]], axis=-1)
+        if E < SAT_PAD:  # tiny test maps: pad the remainder with wraps again
+            more = SAT_PAD - E
+            ext = jnp.concatenate([ext[..., -2 * E - more:-2 * E], ext,
+                                   ext[..., 2 * E:2 * E + more]], axis=-1)
+        cum = jnp.cumsum(jnp.cumsum(ext / SAT_SCALE, axis=1), axis=2)
         cache = {
             "cum_mat": cum,
             "top_row": activated[:, 0, :].mean(axis=-1),
@@ -195,7 +202,7 @@ class IntegralEquirect:
         br = coords + jnp.stack([sw, -shh], -1) / 2
         tl = coords + jnp.stack([-sw, shh], -1) / 2
         bg_vals = _integrate_area_wrap(bl, br, tl, tr, size,
-                                       cache["cum_mat"]) * SAT_SCALE
+                                       cache["cum_mat"], w) * SAT_SCALE
 
         # pole rows: within 3 texels of a pole use the averaged edge row
         cutoff = 1 - 2 / h * 3
