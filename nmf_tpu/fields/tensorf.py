@@ -59,23 +59,28 @@ class FactorGrid:
         return (len({p.shape for p in self.planes}) == 1
                 and len({l.shape for l in self.lines}) == 1)
 
-    def query(self, coords):
+    def query(self, coords, dtype=None):
         """coords: (..., 3) normalized in [-1,1] -> list of 3 (..., C).
 
         When all three planes share a shape (cubic grids, the common case)
         the three queries are batched into a single gather via vmap --
         one-third the kernel count of the naive per-plane loop.
+
+        dtype: optional gather dtype (e.g. jnp.bfloat16) -- tables are cast
+        before the gather and products accumulate in f32, matching the fused
+        compute_all path bit-for-bit so mixed call sites stay consistent.
         """
+        cast = (lambda x: x.astype(dtype)) if dtype is not None else (lambda x: x)
         if self._uniform_shapes():
             pcoords = jnp.stack([
                 jnp.stack([coords[..., m0], coords[..., m1]], axis=-1)
                 for (m0, m1) in MAT_MODE])  # (3, ..., 2)
             lcoords = jnp.stack([coords[..., v] for v in VEC_MODE])
-            pstack = jnp.stack(self.planes)  # (3, C, H, W)
-            lstack = jnp.stack(self.lines)   # (3, C, L)
+            pstack = cast(jnp.stack(self.planes))  # (3, C, H, W)
+            lstack = cast(jnp.stack(self.lines))   # (3, C, L)
             pc = jax.vmap(grid_sample_2d)(pstack, pcoords)  # (3, ..., C)
             lc = jax.vmap(grid_sample_1d)(lstack, lcoords)
-            prod = pc * lc
+            prod = pc.astype(jnp.float32) * lc.astype(jnp.float32)
             return [prod[i] for i in range(3)]
         feats = []
         for i in range(3):
@@ -84,11 +89,11 @@ class FactorGrid:
             # torch grid_sample: last coord dim is (x, y); plane sampled at
             # (xyz[m0], xyz[m1]) -> x=m0 indexes W, y=m1 indexes H
             pc = grid_sample_2d(
-                self.planes[i],
+                cast(self.planes[i]),
                 jnp.stack([coords[..., m0], coords[..., m1]], axis=-1),
             )
-            lc = grid_sample_1d(self.lines[i], coords[..., v])
-            feats.append(pc * lc)
+            lc = grid_sample_1d(cast(self.lines[i]), coords[..., v])
+            feats.append(pc.astype(jnp.float32) * lc.astype(jnp.float32))
         return feats
 
     def query_with_derivs(self, coords, dkernels):
@@ -286,10 +291,17 @@ class TensorVMSplit:
                            preferred_element_type=jnp.float32)[..., 0]
         return sum(f.sum(axis=-1) for f in feats)
 
-    def compute_densityfeature(self, xyz, activate=True):
-        """World xyz (..., 3/4) -> density (...,)."""
+    def compute_densityfeature(self, xyz, activate=True, use_gather_dtype=False):
+        """World xyz (..., 3/4) -> density (...,).
+
+        use_gather_dtype=True gathers in self.gather_dtype (bf16 by default)
+        so results are bit-identical to the fused compute_all path -- the
+        renderer's two-stage shading relies on this for a consistent acc_map.
+        """
         coords = self.normalize_coord(xyz)[..., :3]
-        feats = self.density_rf.query(coords)
+        gd = (jnp.bfloat16 if use_gather_dtype and self.gather_dtype == "bf16"
+              else None)
+        feats = self.density_rf.query(coords, dtype=gd)
         sig = self._contract_density(feats)
         return self.feature2density(sig) if activate else sig
 

@@ -126,7 +126,12 @@ def render(nmf: NMF, rays, key, focal=1.0, is_train=False, bg_col=(1.0, 1.0, 1.0
             xyz.reshape(-1, 4), with_normals=needs_normals)
         sigma = sigma_f.reshape(B, K)
     else:
-        sigma = nmf.rf.compute_densityfeature(xyz.reshape(-1, 4)).reshape(B, K)
+        # stage-1 density must match compute_all's gather dtype bit-for-bit
+        # so the two-stage acc_map equals the full render's
+        dkw = ({"use_gather_dtype": True}
+               if hasattr(nmf.rf, "gather_dtype") else {})
+        sigma = nmf.rf.compute_densityfeature(
+            xyz.reshape(-1, 4), **dkw).reshape(B, K)
         app_features = world_normal = None
 
     sigma = jnp.where(valid, sigma, 0.0)
