@@ -59,10 +59,12 @@ def main():
     rgbs = jnp.asarray(rng.uniform(size=(B, 3)).astype(np.float32))
     bg_col = jnp.ones((3,))
 
-    # warmup / compile
+    # warmup / compile. NOTE: under the axon remote-TPU plugin
+    # block_until_ready is lazy; a host fetch (float()) is the only reliable
+    # execution barrier, so every trial ends with one.
     key, sk = jax.random.split(key)
     nmf, opt_state, m = step(nmf, opt_state, rays, rgbs, bg_col, sk, weights)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
 
     # The remote-TPU tunnel is noisy (shared host; compile-server residue):
     # time several trials and report the best.
@@ -74,7 +76,7 @@ def main():
             key, sk = jax.random.split(key)
             nmf, opt_state, m = step(nmf, opt_state, rays, rgbs, bg_col, sk,
                                      weights)
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])  # host fetch = real barrier for the chained steps
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     rays_per_sec = B * n_iters / best_dt

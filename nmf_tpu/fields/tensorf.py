@@ -32,6 +32,8 @@ from ..ops.grid_sample import (
     conv2d_same,
     grid_sample_1d,
     grid_sample_2d,
+    line_interp_matmul,
+    quad_gather_2d,
     resize_align_corners_1d,
     resize_align_corners_2d,
     smoothed_derivative_kernels_2d,
@@ -78,9 +80,9 @@ class FactorGrid:
             lcoords = jnp.stack([coords[..., v] for v in VEC_MODE])
             pstack = cast(jnp.stack(self.planes))  # (3, C, H, W)
             lstack = cast(jnp.stack(self.lines))   # (3, C, L)
-            pc = jax.vmap(grid_sample_2d)(pstack, pcoords)  # (3, ..., C)
-            lc = jax.vmap(grid_sample_1d)(lstack, lcoords)
-            prod = pc.astype(jnp.float32) * lc.astype(jnp.float32)
+            pc = jax.vmap(quad_gather_2d)(pstack, pcoords)  # (3, ..., C)
+            lc = jax.vmap(line_interp_matmul)(lstack, lcoords)
+            prod = pc * lc
             return [prod[i] for i in range(3)]
         feats = []
         for i in range(3):
@@ -346,12 +348,16 @@ class TensorVMSplit:
                 jnp.stack([coords[..., m0], coords[..., m1]], axis=-1)
                 for (m0, m1) in MAT_MODE])
             lcoords = jnp.stack([coords[..., v] for v in VEC_MODE])
-            pc_all = jax.vmap(grid_sample_2d)(
+            # quad gather: ONE gathered row per (sample, plane) carries the
+            # full 2x2 corner neighborhood; lines go through a 2-hot MXU
+            # matmul with zero gathers (TPU gathers are latency-bound per
+            # row, so row count -- not bytes -- is the cost driver)
+            pc_all = jax.vmap(quad_gather_2d)(
                 jnp.stack(planes).astype(gd), pcoords)
-            lc_all = jax.vmap(grid_sample_1d)(
+            lc_all = jax.vmap(line_interp_matmul)(
                 jnp.stack(lines).astype(gd), lcoords)
-            pcs = [pc_all[i].astype(jnp.float32) for i in range(3)]
-            lcs = [lc_all[i].astype(jnp.float32) for i in range(3)]
+            pcs = [pc_all[i] for i in range(3)]
+            lcs = [lc_all[i] for i in range(3)]
         else:
             for i in range(3):
                 m0, m1 = MAT_MODE[i]

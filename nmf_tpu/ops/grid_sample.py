@@ -103,6 +103,68 @@ def grid_sample_3d(vol, coords):
     return jnp.moveaxis(out, 0, -1)
 
 
+def quad_gather_2d(plane, coords):
+    """Bilinear 2D sample with ONE row-gather per sample.
+
+    TPU gathers are latency-bound per *row*, independent of row width
+    (measured ~8 ns/row for 8..256 channels). The naive bilinear sample
+    costs 4 corner gathers; here the plane is concatenated channel-wise with
+    its x/y/xy-rolled copies, so a single row fetch returns the whole 2x2
+    neighborhood -- 4x fewer gather rows forward and 4x fewer scatter rows
+    backward. Matches grid_sample_2d (align_corners=True) for coords in
+    [-1, 1]; the rolled wrap rows only ever appear with weight exactly 0.
+
+    plane: (C, H, W); coords: (..., 2) as (x, y) -> (..., C) float32.
+    """
+    C, H, W = plane.shape
+    x = _unnormalize(jnp.clip(coords[..., 0], -1, 1), W)
+    y = _unnormalize(jnp.clip(coords[..., 1], -1, 1), H)
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx = x - x0f
+    wy = y - y0f
+    ix0 = jnp.clip(x0f.astype(jnp.int32), 0, W - 1)
+    iy0 = jnp.clip(y0f.astype(jnp.int32), 0, H - 1)
+    quad = jnp.concatenate([
+        plane,
+        jnp.roll(plane, -1, axis=2),
+        jnp.roll(plane, -1, axis=1),
+        jnp.roll(jnp.roll(plane, -1, axis=1), -1, axis=2),
+    ], axis=0)  # (4C, H, W); rows ordered (0,0),(1,0),(0,1),(1,1) in (dx,dy)
+    rows = jnp.take(quad.reshape(4 * C, H * W).T, iy0 * W + ix0, axis=0)
+    r = rows.astype(jnp.float32)
+    w00 = (1 - wx) * (1 - wy)
+    w10 = wx * (1 - wy)
+    w01 = (1 - wx) * wy
+    w11 = wx * wy
+    return (r[..., 0 * C:1 * C] * w00[..., None]
+            + r[..., 1 * C:2 * C] * w10[..., None]
+            + r[..., 2 * C:3 * C] * w01[..., None]
+            + r[..., 3 * C:4 * C] * w11[..., None])
+
+
+def line_interp_matmul(line, coords):
+    """Linear 1D sample as a 2-hot MXU matmul (zero gathers).
+
+    A row-gather costs ~8 ns/row on TPU regardless of width; for the short
+    factor lines (L <= ~500) building the 2-hot interpolation matrix
+    A (N, L) and hitting the MXU is far cheaper than two gathers per sample.
+
+    line: (C, L); coords: (...,) in [-1, 1] -> (..., C) float32.
+    """
+    C, L = line.shape
+    x = _unnormalize(jnp.clip(coords, -1, 1), L)
+    x0f = jnp.floor(x)
+    w1 = x - x0f
+    i0 = jnp.clip(x0f.astype(jnp.int32), 0, L - 1)
+    iota = jnp.arange(L, dtype=jnp.int32)
+    A = (jnp.where(iota == i0[..., None], (1 - w1)[..., None], 0.0)
+         + jnp.where(iota == i0[..., None] + 1, w1[..., None], 0.0))
+    out = jnp.dot(A.reshape(-1, L).astype(line.dtype), line.T,
+                  preferred_element_type=jnp.float32)
+    return out.reshape(*x.shape, C)
+
+
 def resize_align_corners_2d(plane, new_hw):
     """Bilinear resize of (C, H, W) -> (C, H', W') with align_corners=True.
 

@@ -21,14 +21,20 @@ jax.config.update("jax_compilation_cache_dir",
 
 
 def timeit(fn, *args, n=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    """Time fn(*args, salt) honestly under the lazy axon PJRT plugin: each
+    call is salted by a scalar carried from the previous call's result, so
+    the n calls form one dependency chain, and the final scalar host fetch
+    is the only true execution barrier."""
+    red = jax.jit(lambda a: a.astype(jnp.float32).ravel()[:8].sum() * 1e-30)
+    salt = jnp.zeros(())
+    float(red(fn(*args, salt)))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(n):
-            out = fn(*args)
-        jax.block_until_ready(out)
+            out = fn(*args, salt)
+            salt = red(out)
+        float(salt)
         best = min(best, (time.perf_counter() - t0) / n)
     return best * 1e3  # ms
 
@@ -76,16 +82,17 @@ def main():
             valid = (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
             idx = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
             g = jnp.take(flat, idx, axis=0).astype(jnp.float32)
-            out = out + g * jnp.where(valid, w[..., None], 0.0)
+            out = out + g * jnp.where(valid, w, 0.0)[..., None]
         return out
 
     for name, gs in (("cols(C,HW)", gs_cols), ("rows(HW,C)", gs_rows)):
-        fwd = jax.jit(lambda p, c, _g=gs: jax.vmap(_g)(p, c).sum())
+        # materialize the full (3, M, C) output so XLA can't elide the gather
+        fwd = jax.jit(lambda p, c, s, _g=gs: jax.vmap(_g)(p, c + s))
         t_f = timeit(fwd, planes, coords)
 
         def loss(p, c, _g=gs):
             return (jax.vmap(_g)(p, c) ** 2).sum()
-        bwd = jax.jit(jax.grad(loss))
+        bwd = jax.jit(lambda p, c, s, _l=loss: jax.grad(_l)(p, c + s))
         t_b = timeit(bwd, planes, coords)
         by = 3 * M * 4 * C * 2 / 1e9
         print(f"{name}: fwd {t_f:.2f} ms ({by / t_f * 1e3:.0f} GB/s) "

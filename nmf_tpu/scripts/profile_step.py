@@ -2,8 +2,14 @@
 """Component-level timing of the flagship train step (run alone on the TPU).
 
 Times: sampler, fused field query (fwd / fwd+bwd), envmap SAT query
-(fwd / fwd+bwd), full loss fwd, full train step. Keep pytest & other
-CPU-heavy jobs OFF while running (tunnel starvation inflates numbers)."""
+(fwd / fwd+bwd), full loss fwd+bwd, full train step. Keep pytest & other
+CPU-heavy jobs OFF while running (tunnel starvation inflates numbers).
+
+NOTE on timing: the axon PJRT plugin executes lazily -- block_until_ready
+does not force the queue. Every timed function takes a scalar `salt` folded
+into its inputs and the timer chains call N's salt from call N-1's output,
+ending with a host fetch: the only honest barrier.
+"""
 import sys
 import time
 from pathlib import Path
@@ -19,14 +25,19 @@ jax.config.update("jax_compilation_cache_dir",
 
 
 def timeit(fn, *args, n=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    """fn(*args, salt) -> pytree. Chained-salt timing with host-fetch barrier."""
+    red = jax.jit(lambda t: jax.tree_util.tree_reduce(
+        lambda s, x: s + x.astype(jnp.float32).ravel()[:1].sum() * 1e-30,
+        t, jnp.zeros(())))
+    salt = jnp.zeros(())
+    float(red(fn(*args, salt)))
     best = float("inf")
     for _ in range(3):
+        salt = jnp.zeros(())
         t0 = time.perf_counter()
         for _ in range(n):
-            out = fn(*args)
-        jax.block_until_ready(out)
+            salt = red(fn(*args, salt))
+        float(salt)
         best = min(best, (time.perf_counter() - t0) / n)
     return best * 1e3
 
@@ -50,20 +61,21 @@ def main():
     bg_col = jnp.ones((3,))
 
     # --- sampler ---
-    samp_fn = jax.jit(lambda nmf, rays, key: nmf.sampler.sample(
-        rays, key=key, is_train=True, max_samples_per_ray=128))
+    samp_fn = jax.jit(lambda nmf, rays, key, s: nmf.sampler.sample(
+        rays + s * 1e-20, key=key, is_train=True, max_samples_per_ray=128))
     print(f"sampler:            {timeit(samp_fn, nmf, rays, key):8.2f} ms")
-    samp = samp_fn(nmf, rays, key)
+    samp = samp_fn(nmf, rays, key, jnp.zeros(()))
     xyz = samp["xyz"].reshape(-1, 4)
 
     # --- fused field query ---
-    f_fwd = jax.jit(lambda nmf, xyz: nmf.rf.compute_all(xyz)[0].sum())
+    f_fwd = jax.jit(
+        lambda nmf, xyz, s: nmf.rf.compute_all(xyz + s * 1e-20))
     print(f"field fwd:          {timeit(f_fwd, nmf, xyz):8.2f} ms")
 
     def f_loss(nmf, xyz):
         s, a, n = nmf.rf.compute_all(xyz)
         return s.sum() + a.sum() + n.sum()
-    f_bwd = jax.jit(jax.grad(f_loss))
+    f_bwd = jax.jit(lambda nmf, xyz, s: jax.grad(f_loss)(nmf, xyz + s * 1e-20))
     print(f"field fwd+bwd:      {timeit(f_bwd, nmf, xyz):8.2f} ms")
 
     # --- envmap query (the bounce-ray pattern: ~41k queries) ---
@@ -76,31 +88,40 @@ def main():
     def bg_fwd(nmf, vd, mip):
         cache = nmf.bg_module.prepare(with_sh=False)
         return nmf.bg_module(vd, mip, cache=cache).sum()
-    print(f"envmap fwd:         {timeit(jax.jit(bg_fwd), nmf, vd, mip):8.2f} ms")
-    bgr = jax.jit(jax.grad(bg_fwd))
+    bgf = jax.jit(lambda nmf, vd, mip, s: bg_fwd(nmf, vd + s * 1e-20, mip))
+    print(f"envmap fwd:         {timeit(bgf, nmf, vd, mip):8.2f} ms")
+    bgr = jax.jit(lambda nmf, vd, mip, s: jax.grad(bg_fwd)(
+        nmf, vd + s * 1e-20, mip))
     print(f"envmap fwd+bwd:     {timeit(bgr, nmf, vd, mip):8.2f} ms")
 
-    # --- full loss fwd only ---
+    # --- full loss fwd / fwd+bwd ---
     weights = trainer.LossWeights()
-    loss_fn = jax.jit(lambda nmf, rays, rgbs, key: trainer.compute_loss(
-        nmf, rays, rgbs, key, weights, bg_col)[0])
+    loss_fn = jax.jit(lambda nmf, rays, rgbs, key, s: trainer.compute_loss(
+        nmf, rays + s * 1e-20, rgbs, key, weights, bg_col)[0])
     print(f"loss fwd:           {timeit(loss_fn, nmf, rays, rgbs, key):8.2f} ms")
 
-    grad_fn = jax.jit(lambda nmf, rays, rgbs, key: jax.grad(
-        lambda m: trainer.compute_loss(m, rays, rgbs, key, weights,
-                                       bg_col)[0])(nmf))
+    grad_fn = jax.jit(lambda nmf, rays, rgbs, key, s: jax.grad(
+        lambda m: trainer.compute_loss(m, rays + s * 1e-20, rgbs, key,
+                                       weights, bg_col)[0])(nmf))
     print(f"loss fwd+bwd:       {timeit(grad_fn, nmf, rays, rgbs, key):8.2f} ms")
 
-    # --- full train step ---
+    # --- full train step (naturally chained through nmf/opt_state) ---
     opt_cfg = trainer.OptimConfig(n_iters=30000)
     tx = trainer.make_optimizer(nmf, opt_cfg)
     opt_state = tx.init(nmf)
     step = trainer.make_train_step(tx, donate=False)
-
-    def run(nmf, opt_state, key):
-        _, _, m = step(nmf, opt_state, rays, rgbs, bg_col, key, weights)
-        return m["loss"]
-    t = timeit(run, nmf, opt_state, key)
+    n, o, m = step(nmf, opt_state, rays, rgbs, bg_col, key, weights)
+    float(m["loss"])
+    best = float("inf")
+    for _ in range(3):
+        n, o = nmf, opt_state
+        t0 = time.perf_counter()
+        for i in range(10):
+            n, o, m = step(n, o, rays, rgbs, bg_col,
+                           jax.random.fold_in(key, i), weights)
+        float(m["loss"])
+        best = min(best, (time.perf_counter() - t0) / 10)
+    t = best * 1e3
     print(f"full step:          {t:8.2f} ms  -> {B / t * 1e3:.0f} rays/s")
 
 
