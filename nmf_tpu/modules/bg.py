@@ -20,7 +20,7 @@ import numpy as np
 from flax import struct
 
 from ..ops import sh
-from ..ops.grid_sample import grid_sample_2d
+from ..ops.grid_sample import quad_gather_2d
 from ..ops.safemath import safe_atan2
 
 EPS = float(jnp.finfo(jnp.float32).eps)
@@ -28,65 +28,44 @@ SAT_SCALE = 1000.0
 
 
 # columns of periodic padding on each side of the SAT; covers the widest
-# box half-width the mip clip allows (2^7/h/2 normalized -> ~32 px) plus
+# box half-width the mip clip allows (2^7/h/2 normalized -> ~64 px) plus
 # slack, so seam-crossing boxes never need a second rectangle
 SAT_PAD = 72
+# rows of pole-mirror padding above/below: the equirect continuation across
+# a pole is the map flipped vertically and rotated 180 deg in azimuth, so a
+# pole-crossing box is ALSO a single rectangle in the extended domain
+# (the reference instead adds explicit overhang rectangles,
+# integral_equirect.py:96-173). Max pole overhang = 2^7/h/2 normalized
+# -> 32 rows at h=512.
+SAT_VPAD = 40
 
 
-def _integrate_area_wrap(bl, br, tl, tr, size, cum_mat, W):
-    """Wrapped SAT box integral via a periodically-padded table.
+def _integrate_box(bl, br, tl, tr, size, cum_mat, W, H):
+    """SAT box integral over the wrap/pole-extended table: ONE rectangle,
+    4 corner lookups, each a single quad-gathered row.
 
-    The reference handles the azimuthal seam by adding left/right wrapped
-    rectangles (integral_equirect.py:42-93, 3x the rectangles); here the SAT
-    is built over a horizontally wrap-padded map, so a box crossing the seam
-    is a single rectangle in the extended domain. 3 rectangles total
-    (base + 2 pole-overhang pieces) -> 12 corner lookups in one gather,
-    instead of the reference's 36 grid_sample calls.
+    The reference evaluates up to 9 rectangles x 4 grid_sample corners
+    (36 bilinear lookups = 144 gather rows) per query
+    (integral_equirect.py:42-173); the extended-domain SAT needs 4.
 
-    Corner coords are normalized to the ORIGINAL W columns; W is the
-    unpadded width. cum_mat has width W + 2*SAT_PAD.
+    Corner coords are normalized to the ORIGINAL (H, W) grid; cum_mat is
+    (C, H + 2*V, W + 2*E).
     """
-    ones = jnp.ones_like(bl[..., 0])
-    true = jnp.ones_like(bl[..., 0], dtype=bool)
-    E = SAT_PAD
-    We = W + 2 * E
+    He, We = cum_mat.shape[-2], cum_mat.shape[-1]
+    E = (We - W) // 2
+    V = (He - H) // 2
+    emax = 2 * E / max(W - 1, 1)
+    vmax = 2 * V / max(H - 1, 1)
 
     def to_ext(c):
-        # original col = (x+1)/2*(W-1); extended normalized over We columns
-        col = (c[..., 0] + 1) * 0.5 * (W - 1) + E
-        x_ext = 2 * col / (We - 1) - 1
-        y = jnp.clip(c[..., 1], -1, 1)
-        return jnp.stack([x_ext, y], axis=-1)
+        col = (jnp.clip(c[..., 0], -1 - emax, 1 + emax) + 1) * 0.5 * (W - 1) + E
+        row = (jnp.clip(c[..., 1], -1 - vmax, 1 + vmax) + 1) * 0.5 * (H - 1) + V
+        return jnp.stack([2 * col / (We - 1) - 1, 2 * row / (He - 1) - 1],
+                         axis=-1)
 
-    rects = [(bl, br, tl, tr, true)]
-
-    # pole overhang pieces: mirror across the pole by rotating 180 degrees
-    # in azimuth and integrating the overhang strip (:96-173)
-    exceed_t = tl[..., 1] > 1
-    rot_t = jnp.where(tl[..., 0] > 0, -1.0, 1.0)
-    overhang_t = jnp.clip(tl[..., 1] - 1, 0, 0.5)
-    rects.append((
-        jnp.stack([bl[..., 0] + rot_t, ones - overhang_t], -1),
-        jnp.stack([br[..., 0] + rot_t, ones - overhang_t], -1),
-        jnp.stack([tl[..., 0] + rot_t, ones], -1),
-        jnp.stack([tr[..., 0] + rot_t, ones], -1), exceed_t))
-
-    exceed_b = bl[..., 1] < -1
-    rot_b = jnp.where(tl[..., 0] > 0, -1.0, 1.0)
-    overhang_b = jnp.clip(-1 - bl[..., 1], 0, 0.5)
-    rects.append((
-        jnp.stack([bl[..., 0] + rot_b, -ones], -1),
-        jnp.stack([br[..., 0] + rot_b, -ones], -1),
-        jnp.stack([tl[..., 0] + rot_b, -ones + overhang_b], -1),
-        jnp.stack([tr[..., 0] + rot_b, -ones + overhang_b], -1), exceed_b))
-
-    corners = jnp.stack([jnp.stack([to_ext(r[c]) for r in rects])
-                         for c in range(4)])  # (4, 3, N, 2)
-    vals = grid_sample_2d(cum_mat, jnp.clip(corners, -1, 1))  # (4, 3, N, 3)
-    blv, brv, tlv, trv = vals[0], vals[1], vals[2], vals[3]
-    per_rect = (trv + blv - tlv - brv) / size[None, :, None]
-    masks = jnp.stack([r[4] for r in rects])
-    return jnp.where(masks[..., None], per_rect, 0.0).sum(axis=0)
+    corners = jnp.stack([to_ext(bl), to_ext(br), to_ext(tl), to_ext(tr)])
+    vals = quad_gather_2d(cum_mat, corners)  # (4, N, C)
+    return (vals[3] + vals[0] - vals[2] - vals[1]) / size[..., None]
 
 
 @struct.dataclass
@@ -136,14 +115,18 @@ class IntegralEquirect:
         reference recomputes both the SAT and the SH projection inside every
         forward, integral_equirect.py:431-433 / microfacet.py:304-318)."""
         activated = self.activation_fn(self.bg_mat)  # (3, H, W)
+        H, W = activated.shape[-2], activated.shape[-1]
+        # pole-mirror row padding: ext row -s == row s rotated 180deg in
+        # azimuth; ext row (H-1)+s == row (H-1)-s rotated. Makes every
+        # pole-crossing box a single rectangle.
+        V = min(SAT_VPAD, H - 1)
+        shifted = jnp.roll(activated, W // 2, axis=-1)
+        top = shifted[:, 1:V + 1][:, ::-1]
+        bot = shifted[:, H - 1 - V:H - 1][:, ::-1]
+        vert = jnp.concatenate([top, activated, bot], axis=1)
         # periodic column padding so seam-crossing boxes are one rectangle
-        E = min(SAT_PAD, activated.shape[-1] // 2)
-        ext = jnp.concatenate([activated[..., -E:], activated,
-                               activated[..., :E]], axis=-1)
-        if E < SAT_PAD:  # tiny test maps: pad the remainder with wraps again
-            more = SAT_PAD - E
-            ext = jnp.concatenate([ext[..., -2 * E - more:-2 * E], ext,
-                                   ext[..., 2 * E:2 * E + more]], axis=-1)
+        E = min(SAT_PAD, W)
+        ext = jnp.concatenate([vert[..., -E:], vert, vert[..., :E]], axis=-1)
         cum = jnp.cumsum(jnp.cumsum(ext / SAT_SCALE, axis=1), axis=2)
         cache = {
             "cum_mat": cum,
@@ -201,8 +184,8 @@ class IntegralEquirect:
         tr = coords + half
         br = coords + jnp.stack([sw, -shh], -1) / 2
         tl = coords + jnp.stack([-sw, shh], -1) / 2
-        bg_vals = _integrate_area_wrap(bl, br, tl, tr, size,
-                                       cache["cum_mat"], w) * SAT_SCALE
+        bg_vals = _integrate_box(bl, br, tl, tr, size,
+                                 cache["cum_mat"], w, h) * SAT_SCALE
 
         # pole rows: within 3 texels of a pole use the averaged edge row
         cutoff = 1 - 2 / h * 3
