@@ -127,7 +127,11 @@ class Microfacet:
                     100, cache=bg_cache)
             conv_coeffs = jax.lax.stop_gradient(conv_coeffs)
             evaled = sh.eval_sh_bases(conv_coeffs.shape[0], normals)
-            E = (conv_coeffs[None] * evaled[..., None]).sum(axis=1)
+            # the irradiance is fully detached in the reference (torch.no_grad
+            # + .detach(), microfacet.py:305-316): no gradient flows into the
+            # normals through the SH basis evaluation
+            E = jax.lax.stop_gradient(
+                (conv_coeffs[None] * evaled[..., None]).sum(axis=1))
             diffuse = albedo * E
         else:
             diffuse = albedo
@@ -161,11 +165,15 @@ class Microfacet:
         if self.detach_N:
             bN = jax.lax.stop_gradient(bN)
         bN = bN * jnp.sign((bV * bN).sum(-1, keepdims=True))
-        r1 = matprop["r1"][src, 0]
+        # slice columns BEFORE the row gather: a fused xyz[src, :3] transposes
+        # to a 2D-index scatter that XLA serializes into a 32k-iteration
+        # while loop (~100 ms); the row-gather of a pre-sliced array
+        # transposes to a vectorized row scatter-add
+        r1 = matprop["r1"][:, 0][src]
         if is_train:
             r1 = jnp.clip(r1, self.min_rough)
         efeatures = noise_app_features[src]
-        exyz = xyz[src, :3]
+        exyz = xyz[:, :3][src]
 
         u1, u2 = hammersley_draw(keys[3], within, counts[src], src)
         L, basis, logD = self.brdf_sampler.sample(u1, u2, bV, bN, r1, r1)
