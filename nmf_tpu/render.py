@@ -111,6 +111,15 @@ def render(nmf: NMF, rays, key, focal=1.0, is_train=False, bg_col=(1.0, 1.0, 1.0
     z_vals = samp["z_vals"]    # (B, K)
     dists = samp["dists"]      # (B, K)
     valid = samp["valid"]      # (B, K)
+    if recur == 0:
+        # primary sample positions have no gradient path to any parameter
+        # (they are functions of the input rays only), but without an
+        # explicit stop the backward still materializes their cotangents --
+        # including a 0.5M-row scatter transposing the top-K compaction
+        # gather (~28 ms/step measured). Secondary passes keep gradients:
+        # there the positions depend on bounce directions (= parameters).
+        sg = jax.lax.stop_gradient
+        xyz, z_vals, dists = sg(xyz), sg(z_vals), sg(dists)
     K = xyz.shape[1]
 
     needs_normals = nmf.model.needs_normals(recur)

@@ -159,14 +159,19 @@ class AlphaGridSampler:
         dists = jnp.concatenate(
             [interp[:, 1:] - interp[:, :-1], jnp.zeros((B, 1))], -1) * norm
         size = interp[..., None] / focal
-        xyz = jnp.concatenate([pts, size], axis=-1)
         K = max_samples_per_ray
         if K > 0 and K < N:
+            packed = jnp.concatenate(
+                [pts, size, interp[..., None], dists[..., None],
+                 valid[..., None].astype(jnp.float32)], axis=-1)
             idx, keep = compact_topk(valid, K)
-            xyz = gather_rows(xyz, idx)
-            interp = jnp.take_along_axis(interp, idx, axis=1)
-            dists = jnp.take_along_axis(dists, idx, axis=1)
-            valid = jnp.take_along_axis(valid, idx, axis=1) & keep
+            packed = gather_rows(packed, idx)
+            xyz = packed[..., 0:4]
+            interp = packed[..., 4]
+            dists = packed[..., 5]
+            valid = (packed[..., 6] > 0.5) & keep
+        else:
+            xyz = jnp.concatenate([pts, size], axis=-1)
         return {"xyz": xyz, "z_vals": interp, "dists": dists, "valid": valid}
 
     def sample(self, rays, key=None, is_train=False, override_near=None,
@@ -226,17 +231,24 @@ class AlphaGridSampler:
             valid = valid & (alphas > 0)
 
         size = z_vals[..., None] / focal
-        xyz = jnp.concatenate([pts, size], axis=-1)
-
         dists = jnp.concatenate(
             [z_vals[:, 1:] - z_vals[:, :-1], jnp.zeros((B, 1))], axis=-1)
 
         K = max_samples_per_ray
         if K > 0 and K < N:
+            # pack everything to compact into ONE row gather: TPU gathers
+            # are latency-bound per row, so 4 separate take_along_axis calls
+            # (xyz, z, dist, valid) cost 4x one 7-channel gather
+            packed = jnp.concatenate(
+                [pts, size, z_vals[..., None], dists[..., None],
+                 valid[..., None].astype(jnp.float32)], axis=-1)
             idx, keep = compact_topk(valid, K)
-            xyz = gather_rows(xyz, idx)
-            z_vals = jnp.take_along_axis(z_vals, idx, axis=1)
-            dists = jnp.take_along_axis(dists, idx, axis=1)
-            valid = jnp.take_along_axis(valid, idx, axis=1) & keep
+            packed = gather_rows(packed, idx)
+            xyz = packed[..., 0:4]
+            z_vals = packed[..., 4]
+            dists = packed[..., 5]
+            valid = (packed[..., 6] > 0.5) & keep
+        else:
+            xyz = jnp.concatenate([pts, size], axis=-1)
 
         return {"xyz": xyz, "z_vals": z_vals, "dists": dists, "valid": valid}
