@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import utils
+from .modules.logger import LOGGER, collect_ray_debug
 from .render import NMF, render
 
 EVAL_MAP_KEYS = ("rgb_map", "acc_map", "depth", "world_normal", "normal",
@@ -165,6 +166,14 @@ def evaluate(nmf: NMF, dataset, key, save_dir: Optional[str] = None,
         key, sk = jax.random.split(key)
         maps = render_image(nmf, rays, (H, W), sk, chunk=chunk,
                             render_fn=render_fn)
+        if LOGGER.enable and not LOGGER.entries:
+            # dump debug geometry for a center-row ray bundle of the first
+            # eval image (reference BundleRender -> rays.pkl,
+            # renderer.py:129-143)
+            mid = (H // 2) * W + W // 2
+            lo = max(mid - LOGGER.max_rays // 2, 0)
+            dbg = collect_ray_debug(nmf, rays[lo:lo + LOGGER.max_rays], sk)
+            LOGGER.log(**dbg)
         pred = np.clip(maps["rgb_map"], 0, 1)
         stats["psnr"].append(utils.rgb_psnr(pred, gt))
         if compute_extra_metrics:
@@ -246,6 +255,9 @@ def evaluate(nmf: NMF, dataset, key, save_dir: Optional[str] = None,
             f.write(str(summary))
         if nmf.bg_module is not None and save_all_maps:
             save_envmap(nmf.bg_module, Path(save_dir) / f"{prefix}pano.png")
+        if LOGGER.enable and LOGGER.entries:
+            LOGGER.save(str(Path(save_dir) / "rays.pkl"))
+            LOGGER.save_html(str(Path(save_dir) / "rays.html"))
     return summary
 
 

@@ -215,6 +215,19 @@ class Microfacet:
             retraced, _ = render_reflection(retrace_rays, retrace_mip,
                                             retrace=True, rkey=keys[4])
             incoming_light = incoming_light.at[top_idx].set(retraced)
+            if self.russian_roulette:
+                # a sample that owns retraced rays is represented ONLY by
+                # them: its envmap-only rays are dropped and its ray_count
+                # becomes the retrace count (microfacet.py:512-535)
+                tvalid = slot_valid[top_idx]
+                num_retrace = segment_sum_to(
+                    tvalid[:, None].astype(jnp.float32), src[top_idx],
+                    tvalid, M)[:, 0]
+                rtmask = num_retrace > 0
+                ray_count = jnp.where(rtmask, num_retrace, ray_count)
+                retraced_slot = jnp.zeros(budget, bool).at[top_idx].set(
+                    tvalid)
+                slot_valid = slot_valid & (retraced_slot | ~rtmask[src])
 
         # --- composite bounce rays back onto samples (row_mask_sum ->
         #     segment_sum; microfacet.py:565-619) ---

@@ -238,6 +238,11 @@ def render_test(cfg, log=print):
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     cfg = config_lib.compose(argv)
+    if cfg.get("log_rays"):
+        # dump rays.pkl (+ rays.html when plotly exists) with eval artifacts
+        from .modules.logger import LOGGER
+
+        LOGGER.enable = True
     if cfg.get("render_only"):
         return render_test(cfg)
     return reconstruction(cfg)

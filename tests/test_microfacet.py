@@ -1,0 +1,115 @@
+"""Microfacet shading-model tests: render sanity, russian-roulette retrace,
+ray debug logger."""
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parents[1]))
+
+from __graft_entry__ import _build_nmf
+from nmf_tpu.render import render
+
+
+def small_mf(key, retrace=32, budget=(512, 128), **kw):
+    nmf, _ = _build_nmf(key, grid=16, bg_res=32, k_spr=16, recur_k=8,
+                        brdf_budget=budget, retrace=retrace, **kw)
+    return nmf
+
+
+def rays_toward_origin(B=64, seed=0):
+    rng = np.random.default_rng(seed)
+    origins = np.tile(np.array([[0.0, 0.0, -4.0]], np.float32), (B, 1))
+    dirs = rng.normal(size=(B, 3)).astype(np.float32)
+    dirs[:, 2] = np.abs(dirs[:, 2]) + 2.0
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    return jnp.asarray(np.concatenate([origins, dirs], -1))
+
+
+class TestMicrofacetRender:
+    def test_render_finite(self):
+        key = jax.random.PRNGKey(0)
+        nmf = small_mf(key)
+        rays = rays_toward_origin()
+        bg_cache = nmf.bg_module.prepare()
+        ims, stats = render(nmf, rays, key, is_train=True, bg_col=None,
+                            bg_cache=bg_cache)
+        assert ims["rgb_map"].shape == (64, 3)
+        assert bool(jnp.all(jnp.isfinite(ims["rgb_map"])))
+        assert bool(jnp.all(jnp.isfinite(stats["ori_loss"])))
+
+
+class TestRussianRoulette:
+    def test_full_retrace_is_identity(self):
+        """With T == budget every valid bounce ray is retraced, so russian
+        roulette drops nothing and keeps the same ray counts -> the render
+        must be IDENTICAL to the non-RR render (same key)."""
+        key = jax.random.PRNGKey(1)
+        nmf = small_mf(key, retrace=512, budget=(512, 128))
+        rays = rays_toward_origin(32, seed=1)
+        bg_cache = nmf.bg_module.prepare()
+        rk = jax.random.PRNGKey(7)
+        off, _ = render(nmf, rays, rk, is_train=True, bg_col=None,
+                        bg_cache=bg_cache)
+        nmf_rr = nmf.replace(model=nmf.model.replace(russian_roulette=True))
+        on, _ = render(nmf_rr, rays, rk, is_train=True, bg_col=None,
+                       bg_cache=bg_cache)
+        np.testing.assert_allclose(np.asarray(off["rgb_map"]),
+                                   np.asarray(on["rgb_map"]), atol=1e-6)
+
+    def test_partial_retrace_runs_and_differs(self):
+        key = jax.random.PRNGKey(2)
+        nmf = small_mf(key, retrace=32, budget=(512, 128))
+        rays = rays_toward_origin(32, seed=2)
+        bg_cache = nmf.bg_module.prepare()
+        rk = jax.random.PRNGKey(9)
+        off, _ = render(nmf, rays, rk, is_train=True, bg_col=None,
+                        bg_cache=bg_cache)
+        nmf_rr = nmf.replace(model=nmf.model.replace(russian_roulette=True))
+        on, _ = render(nmf_rr, rays, rk, is_train=True, bg_col=None,
+                       bg_cache=bg_cache)
+        assert bool(jnp.all(jnp.isfinite(on["rgb_map"])))
+        # acc_map is shading-independent
+        np.testing.assert_allclose(np.asarray(off["acc_map"]),
+                                   np.asarray(on["acc_map"]), atol=1e-6)
+        # with only a few retraced rays RR reweights the estimate
+        assert float(jnp.abs(on["rgb_map"] - off["rgb_map"]).max()) > 0
+
+
+class TestRayLogger:
+    def test_dump(self, tmp_path):
+        from nmf_tpu.modules.logger import LOGGER, RayLogger, collect_ray_debug
+        from nmf_tpu import eval as eval_lib
+        from tests.test_train import build_small, make_sphere_dataset
+
+        ds = make_sphere_dataset(n_views=1, H=16, W=16)
+        key = jax.random.PRNGKey(0)
+        nmf = build_small(key, ds, grid=16, k_spr=16)
+
+        LOGGER.enable = True
+        LOGGER.reset()
+        try:
+            eval_lib.evaluate(nmf, ds, key, save_dir=str(tmp_path), n_vis=1,
+                              chunk=128, compute_extra_metrics=False,
+                              save_all_maps=False)
+        finally:
+            LOGGER.enable = False
+        assert (tmp_path / "rays.pkl").exists()
+        import pickle
+
+        entries = pickle.load(open(tmp_path / "rays.pkl", "rb"))
+        e = entries[0]
+        assert e["xyz"].shape[-1] == 3
+        assert e["rays"].shape[-1] == 6
+        assert e["weights"].shape == e["valid"].shape
+        assert np.isfinite(e["normals"]).all()
+
+    def test_disabled_is_noop(self):
+        from nmf_tpu.modules.logger import RayLogger
+
+        lg = RayLogger(enable=False)
+        lg.log(np.zeros((4, 6)), np.zeros((4, 8, 4)), np.zeros((4, 8)),
+               np.ones((4, 8), bool))
+        assert lg.entries == []
