@@ -103,6 +103,16 @@ def build_field(key, cfg, aabb, grid_size=None):
                    "distance_scale", "step_ratio", "lr", "lr_net"}
         kw2 = {k: v for k, v in kw.items() if k in allowed}
         return init_hashgrid_rf(key, aabb, **kw2)
+    if t.endswith("GridRF") or t.endswith("Grid"):
+        from .fields.grid import init_grid_rf
+
+        allowed = {"grid_size", "app_dim", "init_scale", "activation",
+                   "density_shift", "distance_scale", "step_ratio", "lr",
+                   "lr_net"}
+        kw2 = {k: v for k, v in kw.items() if k in allowed}
+        if "grid_size" in kw2:
+            kw2["grid_size"] = tuple(kw2["grid_size"])
+        return init_grid_rf(key, aabb, **kw2)
     raise ValueError(f"unknown field target {t}")
 
 

@@ -81,3 +81,79 @@ def pose_spherical(theta_deg, phi_deg, radius):
     flip = np.array([[-1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0], [0, 0, 0, 1]],
                     dtype=np.float64)
     return (flip @ c2w).astype(np.float32)
+
+
+def sample_pdf(bins, weights, n_samples, det=False, rng=None):
+    """Hierarchical inverse-CDF resampling (dataLoader/ray_utils.py:128-170).
+
+    bins: (..., M+1) bin edges; weights: (..., M). Returns (..., n_samples)
+    samples distributed proportionally to weights. Pure numpy (host-side
+    data utility, like the rest of this module).
+    """
+    weights = np.asarray(weights, np.float64) + 1e-5
+    pdf = weights / weights.sum(-1, keepdims=True)
+    cdf = np.cumsum(pdf, -1)
+    cdf = np.concatenate([np.zeros_like(cdf[..., :1]), cdf], -1)  # (..., M+1)
+
+    if det:
+        u = np.linspace(0.0, 1.0, n_samples)
+        u = np.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
+    else:
+        rng = rng or np.random.default_rng()
+        u = rng.random(cdf.shape[:-1] + (n_samples,))
+
+    inds = np.stack([np.searchsorted(c, uu, side="right")
+                     for c, uu in zip(cdf.reshape(-1, cdf.shape[-1]),
+                                      u.reshape(-1, n_samples))])
+    inds = inds.reshape(u.shape)
+    below = np.maximum(inds - 1, 0)
+    above = np.minimum(inds, cdf.shape[-1] - 1)
+
+    cdf_g0 = np.take_along_axis(cdf, below, -1)
+    cdf_g1 = np.take_along_axis(cdf, above, -1)
+    bins = np.asarray(bins, np.float64)
+    bins_g0 = np.take_along_axis(bins, below, -1)
+    bins_g1 = np.take_along_axis(bins, above, -1)
+
+    denom = np.where(cdf_g1 - cdf_g0 < 1e-5, 1.0, cdf_g1 - cdf_g0)
+    t = (u - cdf_g0) / denom
+    return (bins_g0 + t * (bins_g1 - bins_g0)).astype(np.float32)
+
+
+def read_pfm(filename):
+    """Read a PFM image -> (data, scale) (dataLoader/ray_utils.py:230-262)."""
+    import re
+
+    with open(filename, "rb") as f:
+        header = f.readline().decode("utf-8").rstrip()
+        if header == "PF":
+            color = True
+        elif header == "Pf":
+            color = False
+        else:
+            raise ValueError("Not a PFM file.")
+        dim_match = re.match(r"^(\d+)\s(\d+)\s$", f.readline().decode("utf-8"))
+        if not dim_match:
+            raise ValueError("Malformed PFM header.")
+        width, height = map(int, dim_match.groups())
+        scale = float(f.readline().rstrip())
+        endian = "<" if scale < 0 else ">"
+        scale = abs(scale)
+        data = np.fromfile(f, endian + "f")
+    shape = (height, width, 3) if color else (height, width)
+    # PFM stores rows bottom-to-top
+    return np.flipud(data.reshape(shape)), scale
+
+
+def write_pfm(filename, image, scale=1.0):
+    """Write a PFM image (counterpart of read_pfm, used by tests)."""
+    image = np.asarray(image, np.float32)
+    color = image.ndim == 3 and image.shape[2] == 3
+    with open(filename, "wb") as f:
+        f.write(b"PF\n" if color else b"Pf\n")
+        f.write(f"{image.shape[1]} {image.shape[0]}\n".encode())
+        endian = image.dtype.byteorder
+        if endian == "<" or (endian == "=" and np.little_endian):
+            scale = -scale
+        f.write(f"{scale}\n".encode())
+        np.flipud(image).tofile(f)

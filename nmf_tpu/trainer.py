@@ -49,7 +49,8 @@ def label_for_path(s: str) -> str:
     """Map a pytree path to an optimizer group (the functional analogue of
     get_optparam_groups)."""
     if s.startswith("rf/density_rf") or s.startswith("rf/app_rf") \
-            or s.startswith("rf/encoding"):
+            or s.startswith("rf/encoding") or s.startswith("rf/density_grid") \
+            or s.startswith("rf/app_grid"):
         return "rf_grid"
     if s.startswith("rf/basis_mat") or s.startswith("rf/dbasis_mat") \
             or s.startswith("rf/density_mlp") or s.startswith("rf/app_mlp"):

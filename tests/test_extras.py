@@ -408,3 +408,96 @@ class TestConverters:
         assert len(meta["frames"]) == 3
         m = np.array(meta["frames"][0]["transform_matrix"])
         assert np.all(np.isfinite(m))
+
+
+class TestGridRF:
+    def make(self, grid=24):
+        from nmf_tpu.fields.grid import init_grid_rf
+
+        return init_grid_rf(jax.random.PRNGKey(0), AABB,
+                            grid_size=(grid, grid, grid))
+
+    def test_queries(self):
+        rf = self.make()
+        xyz = jnp.asarray(np.random.default_rng(0).uniform(-1.4, 1.4, (64, 4)),
+                          dtype=jnp.float32)
+        sig = rf.compute_densityfeature(xyz)
+        assert sig.shape == (64,) and bool(jnp.all(sig >= 0))
+        app = rf.compute_appfeature(xyz)
+        assert app.shape == (64, 24)
+        s2, a2, n2 = rf.compute_all(xyz, with_normals=True)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(sig), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(a2), np.asarray(app), rtol=1e-5)
+        assert bool(jnp.all(jnp.isfinite(n2)))
+
+    def test_upsample_preserves_values(self):
+        rf = self.make(grid=9)
+        xyz = jnp.asarray(np.random.default_rng(1).uniform(-1.2, 1.2, (32, 3)),
+                          dtype=jnp.float32)
+        before = rf.compute_densityfeature(xyz, activate=False)
+        rf2 = rf.upsample((17, 17, 17))  # odd keeps old nodes on lattice
+        after = rf2.compute_densityfeature(xyz, activate=False)
+        np.testing.assert_allclose(np.asarray(before), np.asarray(after),
+                                   atol=2e-3)
+
+    def test_trains_in_renderer(self):
+        """GridRF slots into the full train step via the duck-typed API."""
+        from nmf_tpu.render import NMF
+        from nmf_tpu import trainer
+        from nmf_tpu.models.tensorf import init_tensorf_shade
+        from nmf_tpu.samplers.alphagrid import AlphaGridSampler
+
+        rf = self.make(grid=16)
+        sampler = AlphaGridSampler(alpha_mask=None, aabb=jnp.asarray(AABB),
+                                   near_far=(2.0, 6.0)).update(rf, init=True)
+        model = init_tensorf_shade(jax.random.PRNGKey(1), rf.app_dim)
+        nmf = NMF(rf=rf, sampler=sampler, model=model, max_samples_per_ray=16)
+        tx = trainer.make_optimizer(nmf, trainer.OptimConfig(n_iters=50))
+        opt = tx.init(nmf)
+        step = trainer.make_train_step(tx, donate=False)
+        rng = np.random.default_rng(0)
+        o = np.tile(np.array([[0, 0, -4.0]], np.float32), (64, 1))
+        d = rng.normal(size=(64, 3)).astype(np.float32)
+        d[:, 2] = np.abs(d[:, 2]) + 2
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        rays = jnp.asarray(np.concatenate([o, d], -1))
+        rgbs = jnp.asarray(rng.uniform(size=(64, 3)).astype(np.float32))
+        w = trainer.LossWeights(ori_lambda=0.0, pred_lambda=0.0)
+        l0 = None
+        key = jax.random.PRNGKey(2)
+        for i in range(8):
+            key, sk = jax.random.split(key)
+            nmf, opt, m = step(nmf, opt, rays, rgbs, jnp.ones(3), sk, w)
+            l0 = float(m["loss"]) if l0 is None else l0
+        assert float(m["loss"]) < l0
+
+
+class TestRayUtilExtras:
+    def test_sample_pdf_concentrates(self):
+        from nmf_tpu.data.ray_utils import sample_pdf
+
+        bins = np.linspace(0, 1, 9)[None].repeat(4, 0)  # 8 bins
+        w = np.zeros((4, 8))
+        w[:, 3] = 1.0  # all mass in bin [0.375, 0.5]
+        s = sample_pdf(bins, w, 64, det=True)
+        assert s.shape == (4, 64)
+        inside = ((s >= 0.370) & (s <= 0.505)).mean()
+        assert inside > 0.95
+
+    def test_sample_pdf_uniform(self):
+        from nmf_tpu.data.ray_utils import sample_pdf
+
+        bins = np.linspace(2, 6, 17)[None]
+        w = np.ones((1, 16))
+        s = sample_pdf(bins, w, 256, det=True)
+        np.testing.assert_allclose(s.mean(), 4.0, atol=0.1)
+
+    def test_pfm_roundtrip(self, tmp_path):
+        from nmf_tpu.data.ray_utils import read_pfm, write_pfm
+
+        img = np.random.default_rng(0).uniform(
+            size=(7, 5, 3)).astype(np.float32)
+        p = str(tmp_path / "x.pfm")
+        write_pfm(p, img)
+        back, scale = read_pfm(p)
+        np.testing.assert_allclose(back, img, rtol=1e-6)
