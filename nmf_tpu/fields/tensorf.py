@@ -336,8 +336,7 @@ class TensorVMSplit:
             planes.append(jnp.concatenate(parts_p, axis=0))
             lines.append(jnp.concatenate(parts_l, axis=0))
 
-        uniform = (len({p.shape for p in planes}) == 1
-                   and len({l.shape for l in lines}) == 1)
+        uniform = False  # per-plane quad gathers avoid (3,...) layout copies
         # gather in bf16 (halves HBM bytes moved by the gathers; the
         # reference likewise keeps its grids in half precision,
         # tensor_base.py:188). Products/contractions accumulate in f32.
@@ -362,11 +361,10 @@ class TensorVMSplit:
             for i in range(3):
                 m0, m1 = MAT_MODE[i]
                 v = VEC_MODE[i]
-                pcs.append(grid_sample_2d(planes[i].astype(gd), jnp.stack(
-                    [coords[..., m0], coords[..., m1]], axis=-1)
-                ).astype(jnp.float32))
-                lcs.append(grid_sample_1d(lines[i].astype(gd),
-                                          coords[..., v]).astype(jnp.float32))
+                pcs.append(quad_gather_2d(planes[i].astype(gd), jnp.stack(
+                    [coords[..., m0], coords[..., m1]], axis=-1)))
+                lcs.append(line_interp_matmul(lines[i].astype(gd),
+                                              coords[..., v]))
 
         d_feats, a_feats = [], []
         dgrads = [[], [], []]

@@ -148,8 +148,11 @@ class Microfacet:
 
         starts = jnp.cumsum(counts) - counts
         r_idx = jnp.arange(budget)
+        # method='sort' beats the default binary-search scan ~3x on TPU
+        # (one bitonic sort of M+R keys vs log2(M) serialized gather rounds)
         src = jnp.clip(
-            jnp.searchsorted(starts, r_idx, side="right").astype(jnp.int32) - 1,
+            jnp.searchsorted(starts, r_idx, side="right",
+                             method="sort").astype(jnp.int32) - 1,
             0, M - 1)
         total = jnp.minimum(counts.sum(), budget)
         slot_valid = r_idx < total

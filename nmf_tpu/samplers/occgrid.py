@@ -140,11 +140,17 @@ class OccGridSampler:
 
         K = max_samples_per_ray
         if K > 0 and K < N:
+            # one packed 7-channel row gather (TPU gathers are per-row
+            # latency-bound; see samplers/alphagrid.py)
+            packed = jnp.concatenate(
+                [xyz, z_vals[..., None], dists[..., None],
+                 valid[..., None].astype(jnp.float32)], axis=-1)
             idx, keep = compact_topk(valid, K)
-            xyz = gather_rows(xyz, idx)
-            z_vals = jnp.take_along_axis(z_vals, idx, axis=1)
-            dists = jnp.take_along_axis(dists, idx, axis=1)
-            valid = jnp.take_along_axis(valid, idx, axis=1) & keep
+            packed = gather_rows(packed, idx)
+            xyz = packed[..., 0:4]
+            z_vals = packed[..., 4]
+            dists = packed[..., 5]
+            valid = (packed[..., 6] > 0.5) & keep
         return {"xyz": xyz, "z_vals": z_vals, "dists": dists, "valid": valid}
 
     def mark_untrained_grid(self, poses, intrinsic, img_wh):
