@@ -73,29 +73,21 @@ class FactorGrid:
         compute_all path bit-for-bit so mixed call sites stay consistent.
         """
         cast = (lambda x: x.astype(dtype)) if dtype is not None else (lambda x: x)
-        if self._uniform_shapes():
-            pcoords = jnp.stack([
-                jnp.stack([coords[..., m0], coords[..., m1]], axis=-1)
-                for (m0, m1) in MAT_MODE])  # (3, ..., 2)
-            lcoords = jnp.stack([coords[..., v] for v in VEC_MODE])
-            pstack = cast(jnp.stack(self.planes))  # (3, C, H, W)
-            lstack = cast(jnp.stack(self.lines))   # (3, C, L)
-            pc = jax.vmap(quad_gather_2d)(pstack, pcoords)  # (3, ..., C)
-            lc = jax.vmap(line_interp_matmul)(lstack, lcoords)
-            prod = pc * lc
-            return [prod[i] for i in range(3)]
         feats = []
         for i in range(3):
             m0, m1 = MAT_MODE[i]
             v = VEC_MODE[i]
-            # torch grid_sample: last coord dim is (x, y); plane sampled at
-            # (xyz[m0], xyz[m1]) -> x=m0 indexes W, y=m1 indexes H
-            pc = grid_sample_2d(
+            # torch grid_sample convention: plane sampled at (x=xyz[m0]
+            # indexing W, y=xyz[m1] indexing H). quad_gather_2d /
+            # line_interp_matmul are the row-count-optimal forms (one
+            # gathered row per plane sample, zero gathers for lines) and
+            # bit-match the fused compute_all path.
+            pc = quad_gather_2d(
                 cast(self.planes[i]),
                 jnp.stack([coords[..., m0], coords[..., m1]], axis=-1),
             )
-            lc = grid_sample_1d(cast(self.lines[i]), coords[..., v])
-            feats.append(pc.astype(jnp.float32) * lc.astype(jnp.float32))
+            lc = line_interp_matmul(cast(self.lines[i]), coords[..., v])
+            feats.append(pc * lc)
         return feats
 
     def query_with_derivs(self, coords, dkernels):
