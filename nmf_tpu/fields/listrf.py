@@ -20,6 +20,10 @@ class ListRF:
     fields: Tuple[Any, ...]
     offsets: Any    # (F, 3)
     rotations: Any  # (F, 3, 3) world->field
+    # union of the shifted per-field AABBs (the reference demo intends the
+    # same union at toaster_on_car.py:45-49 but unions aabb1 with itself);
+    # None -> field 0's box
+    aabb_union: Any = None
 
     @property
     def app_dim(self):
@@ -27,7 +31,8 @@ class ListRF:
 
     @property
     def aabb(self):
-        return self.fields[0].aabb
+        return (self.aabb_union if self.aabb_union is not None
+                else self.fields[0].aabb)
 
     @property
     def distance_scale(self):
@@ -118,5 +123,11 @@ def make_listrf(fields, offsets=None, rotations=None):
         offsets = jnp.zeros((F, 3))
     if rotations is None:
         rotations = jnp.broadcast_to(jnp.eye(3), (F, 3, 3))
-    return ListRF(fields=tuple(fields), offsets=jnp.asarray(offsets),
-                  rotations=jnp.asarray(rotations))
+    offsets = jnp.asarray(offsets, jnp.float32)
+    lo = jnp.stack([jnp.asarray(f.aabb[0]) + offsets[i]
+                    for i, f in enumerate(fields)]).min(axis=0)
+    hi = jnp.stack([jnp.asarray(f.aabb[1]) + offsets[i]
+                    for i, f in enumerate(fields)]).max(axis=0)
+    return ListRF(fields=tuple(fields), offsets=offsets,
+                  rotations=jnp.asarray(rotations, jnp.float32),
+                  aabb_union=jnp.stack([lo, hi]))

@@ -501,3 +501,40 @@ class TestRayUtilExtras:
         write_pfm(p, img)
         back, scale = read_pfm(p)
         np.testing.assert_allclose(back, img, rtol=1e-6)
+
+
+class TestCompositionTools:
+    def test_listrf_union_aabb(self):
+        from nmf_tpu.fields.grid import init_grid_rf
+        from nmf_tpu.fields.listrf import make_listrf
+
+        f1 = init_grid_rf(jax.random.PRNGKey(0), AABB, grid_size=(8, 8, 8))
+        f2 = init_grid_rf(jax.random.PRNGKey(1), AABB, grid_size=(8, 8, 8))
+        lrf = make_listrf([f1, f2], offsets=[[0, 0, 0], [2.0, 0, 0]])
+        aabb = np.asarray(lrf.aabb)
+        np.testing.assert_allclose(aabb[0], [-1.5, -1.5, -1.5])
+        np.testing.assert_allclose(aabb[1], [3.5, 1.5, 1.5])
+
+    def test_fit_field_distills_density(self):
+        from nmf_tpu.fields.grid import init_grid_rf
+        from nmf_tpu.fields.tensorf import init_tensorvm_split
+        from nmf_tpu.scripts.fit_field import fit_field
+
+        key = jax.random.PRNGKey(0)
+        src = init_tensorvm_split(key, AABB, grid_size=[16, 16, 16],
+                                  N_voxel_init=16 ** 3,
+                                  N_voxel_final=16 ** 3, upsamp_list=())
+        tgt = init_grid_rf(jax.random.PRNGKey(1), AABB,
+                           grid_size=(24, 24, 24))
+        fitted, losses = fit_field(src, tgt, jax.random.PRNGKey(2),
+                                   steps=120, batch=4096, lr=2e-2,
+                                   fit_app=False, log_every=1000)
+        xyz = jnp.asarray(np.random.default_rng(3).uniform(-1.3, 1.3,
+                                                           (256, 3)),
+                          dtype=jnp.float32)
+        a = np.asarray(src.compute_densityfeature(xyz, activate=False))
+        b = np.asarray(fitted.compute_densityfeature(xyz, activate=False))
+        before = np.asarray(tgt.compute_densityfeature(xyz, activate=False))
+        err_after = np.abs(a - b).mean()
+        err_before = np.abs(a - before).mean()
+        assert err_after < 0.5 * err_before, (err_before, err_after)
