@@ -169,7 +169,10 @@ def build_model(key, cfg, app_dim):
                          switch_iter=kw.get("switch_iter", 0))
     if t.endswith("TensoRF") or not t:
         dm_cfg = kw.pop("diffuse_module", None) or {}
-        return init_tensorf_shade(key, app_dim, **_clean(dm_cfg))
+        dm_kw = _clean(dm_cfg)
+        if _target(dm_cfg).endswith("MLPRender_PE"):
+            dm_kw["head"] = "pe"
+        return init_tensorf_shade(key, app_dim, **dm_kw)
     raise ValueError(f"unknown model target {t}")
 
 

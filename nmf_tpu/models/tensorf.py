@@ -13,7 +13,7 @@ from ..modules.render_modules import MLPRenderFea, init_mlp_render_fea
 
 @struct.dataclass
 class TensoRFShade:
-    diffuse_module: MLPRenderFea
+    diffuse_module: Any  # MLPRenderFea or MLPRenderPE
 
     def needs_normals(self, recur: int) -> bool:
         return False
@@ -37,9 +37,16 @@ class TensoRFShade:
         return rgb, {}
 
 
-def init_tensorf_shade(key, app_dim, viewpe=6, feape=6, featureC=128,
-                       lr=1e-3, **_):
-    return TensoRFShade(
-        diffuse_module=init_mlp_render_fea(
-            key, app_dim, viewpe=viewpe, feape=feape, featureC=featureC,
-            lr=lr))
+def init_tensorf_shade(key, app_dim, viewpe=6, feape=6, pospe=6,
+                       featureC=128, lr=1e-3, head="fea", **_):
+    """head='fea' -> MLPRender_Fea (render_modules.py:201), head='pe' ->
+    MLPRender_PE (:912, positionally encoded sample position)."""
+    if head == "pe":
+        from ..modules.render_modules import init_mlp_render_pe
+
+        dm = init_mlp_render_pe(key, app_dim, viewpe=viewpe, pospe=pospe,
+                                featureC=featureC, lr=lr)
+    else:
+        dm = init_mlp_render_fea(key, app_dim, viewpe=viewpe, feape=feape,
+                                 featureC=featureC, lr=lr)
+    return TensoRFShade(diffuse_module=dm)

@@ -211,3 +211,74 @@ def init_mlp_normal(key, in_channels, pospe=12, feape=-1, hidden_w=128,
     mlp = scale_final_layer(mlp, uniform_range=1e-5, key=k2)
     return MLPNormal(mlp=mlp, pospe=pospe, feape=feape,
                      size_multi=size_multi, lr=lr)
+
+
+@struct.dataclass
+class MLPRenderPE:
+    """Positionally-encoded color head (reference render_modules.py:912-942):
+    like MLPRenderFea but encodes the sample position instead of features.
+    The reference sizes its MLP for the raw position but forgets to
+    concatenate it (its forward would crash); we include it."""
+    mlp: MLP
+    viewpe: int = struct.field(pytree_node=False, default=6)
+    pospe: int = struct.field(pytree_node=False, default=6)
+    lr: float = struct.field(pytree_node=False, default=1e-3)
+
+    def __call__(self, pts, viewdirs, features, **kwargs):
+        indata = [features, viewdirs, pts[..., :3]]
+        if self.pospe > 0:
+            indata.append(positional_encoding(pts[..., :3], self.pospe))
+        if self.viewpe > 0:
+            indata.append(positional_encoding(viewdirs, self.viewpe))
+        return jax.nn.sigmoid(self.mlp(jnp.concatenate(indata, axis=-1)))
+
+
+def init_mlp_render_pe(key, in_channels, viewpe=6, pospe=6, featureC=128,
+                       lr=1e-3, **_):
+    in_mlpC = (3 + 2 * viewpe * 3) + (3 + 2 * pospe * 3) + in_channels
+    mlp = create_mlp(key, in_mlpC, 3, num_layers=3, hidden_w=featureC)
+    layers = list(mlp.layers)
+    layers[-1] = {"w": layers[-1]["w"], "b": jnp.zeros_like(layers[-1]["b"])}
+    return MLPRenderPE(mlp=mlp.replace(layers=tuple(layers)),
+                       viewpe=viewpe, pospe=pospe, lr=lr)
+
+
+def _fibonacci_sphere(n: int, eps: float):
+    """Evenly distributed sphere points (offset Fibonacci lattice)."""
+    import numpy as np
+    indices = np.arange(n, dtype=np.float64)
+    golden = (1 + 5 ** 0.5) / 2
+    phi = np.arccos(1 - 2 * (indices + eps) / (n - 1 + 2 * eps))
+    theta = 2 * np.pi * indices / golden
+    xyz = np.stack([np.cos(theta) * np.sin(phi),
+                    np.sin(theta) * np.sin(phi),
+                    np.cos(phi)], axis=0)
+    return jnp.asarray(xyz, jnp.float32)
+
+
+@struct.dataclass
+class LearnableSphericalEncoding:
+    """Learned features on a Fibonacci sphere lattice, queried by a Gaussian
+    kernel over angular distance (reference render_modules.py:945-997)."""
+    weights: jnp.ndarray        # (1, M, C)
+    sphere_pos: jnp.ndarray     # (3, M), non-learned buffer
+    lr: float = struct.field(pytree_node=False, default=1e-3)
+
+    def dim(self):
+        return self.weights.shape[-1]
+
+    def __call__(self, vec, sigma):
+        # vec: (N, 3); sigma: scalar or (N, 1) angular stddev
+        cos_dist = jnp.clip(vec @ jax.lax.stop_gradient(self.sphere_pos),
+                            -1 + 1e-5, 1 - 1e-5)
+        ang = jnp.arccos(cos_dist)
+        prob = jnp.exp(-((ang / sigma) ** 2) / 2)
+        prob = prob / (prob.sum(axis=1, keepdims=True) + 1e-8)
+        return jnp.einsum("nm,mc->nc", prob, self.weights[0])
+
+
+def init_learnable_spherical_encoding(key, out_channels, out_res, lr=1e-3):
+    eps = 0.33 if out_res < 24 else (1.33 if out_res < 177 else 3.33)
+    weights = jax.random.uniform(key, (1, out_res, out_channels))
+    return LearnableSphericalEncoding(
+        weights=weights, sphere_pos=_fibonacci_sphere(out_res, eps), lr=lr)

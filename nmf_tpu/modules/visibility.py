@@ -85,3 +85,91 @@ class ERBrightSampler:
         sa_texel = (2 * jnp.pi / w) * (jnp.pi / h) * jnp.clip(
             jnp.sin(th), 1e-6)
         return dirs, pdf_texel / sa_texel
+
+
+def _make_side_basis(i, j, v1, v2, v3):
+    import numpy as np
+    k = list({0, 1, 2}.difference({i, j}))[0]
+    b = np.zeros((3, 3), np.float32)
+    b[i, 0] = v1
+    b[j, 1] = v2
+    b[k, 2] = v3
+    return b
+
+
+# Cube-face bases (reference brdf_samplers/cube_bright_sampler.py:108-120)
+_CUBEMAP_BASIS = jnp.asarray(jnp.stack([
+    jnp.asarray(_make_side_basis(1, 2, -1, -1, 1)),   # +x
+    jnp.asarray(_make_side_basis(1, 2, -1, 1, -1)),   # -x
+    jnp.asarray(_make_side_basis(2, 0, 1, 1, 1)),     # +y
+    jnp.asarray(_make_side_basis(2, 0, -1, 1, -1)),   # -y
+    jnp.asarray(_make_side_basis(1, 0, -1, 1, 1)),    # +z
+    jnp.asarray(_make_side_basis(1, 0, -1, -1, -1)),  # -z
+]))
+
+
+def cube_inverse_index(face_ind, ij, res):
+    """Cube texel (face, i, j) -> unit direction (cube_bright_sampler.py:78-88)."""
+    ij = ij.astype(jnp.float32)
+    xy1 = jnp.trunc(res / 2 - (res / 2 - 0.5 - ij))
+    xy = -(res - 2 * xy1 - 1) / res
+    ones = jnp.ones_like(xy[:, :1])
+    xyz = jnp.einsum("nij,nj->ni", _CUBEMAP_BASIS[face_ind],
+                     jnp.concatenate([xy, ones], axis=1))
+    return xyz / jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+
+
+@struct.dataclass
+class CubeBrightSampler:
+    """Bright-spot importance sampler (brdf_samplers/cube_bright_sampler.py).
+
+    The reference finds the brightest texels of a cubemap background and, per
+    shading point, emits Gaussian-jittered rays at those spots (a warp
+    scatter kernel, :9-47). Here the spots come from querying ANY background
+    module on a cube-face direction lattice (the reference's cubemap bg
+    module is dead code), and the jitter/mask step is one vectorized op with
+    a static (B, S) spot budget.
+    """
+    spots: jnp.ndarray      # (S, 3) bright directions, dimmest..brightest
+    pix_size: float = struct.field(pytree_node=False, default=0.05)
+    scale: int = struct.field(pytree_node=False, default=1)
+    cold_start_bg_iters: int = struct.field(pytree_node=False, default=1000)
+    update_freq: int = struct.field(pytree_node=False, default=1000)
+
+    def is_initialized(self):
+        return bool(jnp.any(self.spots != 0))
+
+    def update(self, bg_module, res=32):
+        """Re-rank bright spots from the current background."""
+        S = self.spots.shape[0]
+        ii, jj = jnp.meshgrid(jnp.arange(res), jnp.arange(res), indexing="ij")
+        ij = jnp.stack([ii, jj], -1).reshape(-1, 2)
+        ij6 = jnp.tile(ij, (6, 1))
+        face = jnp.repeat(jnp.arange(6), res * res)
+        dirs = cube_inverse_index(face, ij6, res)
+        bright = bg_module(dirs, jnp.full((dirs.shape[0], 1), -100.0)
+                           )[0].mean(-1)
+        top = jnp.argsort(bright)[-S:]           # ascending: dim..bright
+        pix_size = float(2.0 / res)              # texel angular extent (rad)
+        return self.replace(spots=dirs[top]), pix_size
+
+    def check_schedule(self, it, batch_mul, bg_module):
+        if it % (self.update_freq * batch_mul) == 0 and \
+                it > self.cold_start_bg_iters * 2:
+            new, pix = self.update(bg_module)
+            return new.replace(pix_size=pix)
+        return self
+
+    def sample(self, key, V, N):
+        """Jittered bright rays per shading point.
+
+        V, N: (B, 3) view dirs / normals. Returns (L (B, S, 3), mask (B, S))
+        where mask is LdotN > 0 (the warp kernel's horizon test, :42-47).
+        """
+        B = V.shape[0]
+        S = self.spots.shape[0]
+        eps = self.pix_size * jax.random.normal(key, (B, S, 3))
+        L = self.spots[None] + eps
+        L = L / jnp.clip(jnp.linalg.norm(L, axis=-1, keepdims=True), 1e-8)
+        mask = jnp.einsum("bsk,bk->bs", L, N) > 0
+        return L, mask

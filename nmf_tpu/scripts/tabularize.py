@@ -1,0 +1,108 @@
+"""Aggregate per-run eval stats into one table.
+
+The reference does this in ``scripts/tabularize.ipynb``: walk experiment log
+folders, load every ``stats*.yaml`` the evaluator wrote (renderer.py:508-532),
+and produce a table keyed by experiment/scene with the metric columns
+``psnr, ssim, l_alex, l_vgg, envmap_psnr_top, norm_err, ...``. This is that
+notebook as a dependency-free CLI.
+
+Usage:
+    python -m nmf_tpu.scripts.tabularize LOGDIR [--keys psnr,ssim,...]
+                                                  [--csv out.csv]
+"""
+import argparse
+import json
+import sys
+from pathlib import Path
+
+DEFAULT_KEYS = ["psnr", "ssim", "l_alex", "l_vgg", "norm_err",
+                "envmap_psnr", "tint_psnr"]
+
+
+def _load_yaml(path: Path):
+    try:
+        import yaml
+
+        with open(path) as f:
+            return yaml.safe_load(f)
+    except ImportError:
+        # our stats files are flat "key: value" yaml; parse by hand
+        out = {}
+        for line in path.read_text().splitlines():
+            if ":" in line:
+                k, _, v = line.partition(":")
+                try:
+                    out[k.strip()] = float(v.strip())
+                except ValueError:
+                    out[k.strip()] = v.strip()
+        return out
+
+
+def collect(logdir: Path):
+    """Return {run_name: {metric: value}} from every stats*.yaml under
+    logdir (searched recursively, newest file wins per run dir)."""
+    rows = {}
+    for stats in sorted(logdir.rglob("stats*.yaml")):
+        run = stats.parent.relative_to(logdir)
+        data = _load_yaml(stats)
+        if isinstance(data, dict):
+            row = rows.setdefault(str(run), {})
+            for k, v in data.items():
+                # stats yaml stores per-image lists (eval.py:252); mean them
+                if isinstance(v, list) and v and all(
+                        isinstance(x, (int, float)) for x in v):
+                    row[k] = sum(v) / len(v)
+                elif isinstance(v, (int, float)):
+                    row[k] = v
+    return rows
+
+
+def render_table(rows, keys):
+    headers = ["run"] + keys
+    lines = [" | ".join(headers), " | ".join("---" for _ in headers)]
+    means = {k: [] for k in keys}
+    for run in sorted(rows):
+        vals = []
+        for k in keys:
+            v = rows[run].get(k)
+            if v is None:
+                vals.append("-")
+            else:
+                vals.append(f"{v:.4g}")
+                means[k].append(v)
+        lines.append(" | ".join([run] + vals))
+    mean_row = ["mean"] + [
+        f"{sum(means[k]) / len(means[k]):.4g}" if means[k] else "-"
+        for k in keys]
+    lines.append(" | ".join(mean_row))
+    return "\n".join(lines)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("logdir", type=Path)
+    ap.add_argument("--keys", default=",".join(DEFAULT_KEYS))
+    ap.add_argument("--csv", type=Path, default=None)
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args(argv)
+
+    keys = [k for k in args.keys.split(",") if k]
+    rows = collect(args.logdir)
+    if not rows:
+        print(f"no stats*.yaml found under {args.logdir}", file=sys.stderr)
+        return 1
+    if args.json:
+        print(json.dumps(rows, indent=2, sort_keys=True))
+    else:
+        print(render_table(rows, keys))
+    if args.csv:
+        with open(args.csv, "w") as f:
+            f.write(",".join(["run"] + keys) + "\n")
+            for run in sorted(rows):
+                f.write(",".join([run] + [str(rows[run].get(k, ""))
+                                          for k in keys]) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

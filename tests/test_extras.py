@@ -538,3 +538,153 @@ class TestCompositionTools:
         err_after = np.abs(a - b).mean()
         err_before = np.abs(a - before).mean()
         assert err_after < 0.5 * err_before, (err_before, err_after)
+
+
+class TestOptics:
+    """snells_law / fresnel_law / refract_reflect (reference utils.py:222-273)."""
+
+    def test_snell_bends_toward_normal(self):
+        from nmf_tpu.ops.optics import snells_law
+
+        n = jnp.array([[0.0, 0.0, 1.0]])
+        l = jnp.array([[np.sin(0.5), 0.0, -np.cos(0.5)]])  # 0.5 rad incidence
+        o = np.asarray(snells_law(1.0 / 1.5, n, l))[0]
+        sin_t = np.sin(0.5) / 1.5
+        np.testing.assert_allclose(o[0], sin_t, atol=1e-5)
+        np.testing.assert_allclose(np.linalg.norm(o), 1.0, atol=1e-5)
+        assert o[2] < 0  # still travelling into the surface
+
+    def test_snell_normal_incidence_unchanged(self):
+        from nmf_tpu.ops.optics import snells_law
+
+        n = jnp.array([[0.0, 0.0, 1.0]])
+        l = jnp.array([[0.0, 0.0, -1.0]])
+        o = np.asarray(snells_law(1.0 / 1.5, n, l))
+        np.testing.assert_allclose(o, np.asarray(l), atol=1e-6)
+
+    def test_fresnel_total_internal_reflection(self):
+        from nmf_tpu.ops.optics import fresnel_law, snells_law
+
+        # dense -> sparse at grazing angle: TIR => ratio 1
+        n = jnp.array([[0.0, 0.0, 1.0]])
+        ang = 1.2  # > critical angle asin(1/1.5)=0.7297
+        l = jnp.array([[np.sin(ang), 0.0, -np.cos(ang)]])
+        o = snells_law(1.5, -n, l)  # hitting the back face: n1=1.5, n2=1
+        r = np.asarray(fresnel_law(1.5, 1.0, n, l, o))
+        np.testing.assert_allclose(r, 1.0, atol=1e-6)
+
+    def test_refract_reflect_range(self):
+        from nmf_tpu.ops.optics import refract_reflect
+
+        rng = np.random.default_rng(0)
+        n = rng.normal(size=(32, 3))
+        n /= np.linalg.norm(n, axis=-1, keepdims=True)
+        l = rng.normal(size=(32, 3))
+        l /= np.linalg.norm(l, axis=-1, keepdims=True)
+        p = rng.uniform(size=(32,))
+        out = np.asarray(refract_reflect(1.0, 1.5, jnp.asarray(n),
+                                         jnp.asarray(l), jnp.asarray(p)))
+        assert out.shape == (32, 1)
+        assert (out >= -1e-5).all() and (out <= 1 + 1e-5).all()
+
+
+class TestCubeBrightSampler:
+    def test_inverse_index_face_centers(self):
+        from nmf_tpu.modules.visibility import cube_inverse_index
+
+        res = 8
+        ij = jnp.tile(jnp.array([[3, 3]]), (6, 1))
+        d = np.asarray(cube_inverse_index(jnp.arange(6), ij, res))
+        signs = [(0, +1), (0, -1), (1, +1), (1, -1), (2, +1), (2, -1)]
+        for row, (axis, sign) in zip(d, signs):
+            assert np.argmax(np.abs(row)) == axis
+            assert np.sign(row[axis]) == sign
+            np.testing.assert_allclose(np.linalg.norm(row), 1.0, atol=1e-5)
+
+    def test_update_finds_bright_direction_and_sample_masks(self):
+        from nmf_tpu.modules.visibility import CubeBrightSampler
+
+        class FakeBG:
+            def __call__(self, dirs, mip):
+                b = jnp.clip(dirs[:, 2:3], 0) ** 8
+                return (jnp.tile(b, (1, 3)),)
+
+        s = CubeBrightSampler(spots=jnp.zeros((8, 3)), pix_size=0.02)
+        s2, pix = s.update(FakeBG(), res=16)
+        top = np.asarray(s2.spots[-1])
+        assert top[2] > 0.9, top
+        N = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (4, 1))
+        L, mask = s2.replace(pix_size=pix).sample(
+            jax.random.PRNGKey(0), -N, N)
+        assert L.shape == (4, 8, 3) and mask.shape == (4, 8)
+        LdotN = np.einsum("bsk,bk->bs", np.asarray(L), np.asarray(N))
+        assert (np.asarray(mask) == (LdotN > 0)).all()
+
+    def test_check_schedule_gates_on_iteration(self):
+        from nmf_tpu.modules.visibility import CubeBrightSampler
+
+        class FakeBG:
+            def __call__(self, dirs, mip):
+                return (jnp.ones((dirs.shape[0], 3)),)
+
+        s = CubeBrightSampler(spots=jnp.zeros((4, 3)),
+                              cold_start_bg_iters=10, update_freq=5)
+        assert s.check_schedule(3, 1, FakeBG()) is s      # too early
+        assert s.check_schedule(21, 1, FakeBG()) is s     # not a multiple
+        s2 = s.check_schedule(25, 1, FakeBG())
+        assert s2 is not s and s2.is_initialized()
+
+
+class TestNewHeads:
+    def test_mlp_render_pe_shapes_and_builder(self):
+        from nmf_tpu.builders import build_model
+
+        model = build_model(jax.random.PRNGKey(0), {
+            "_target_": "models.tensorf.TensoRF",
+            "diffuse_module": {
+                "_target_": "modules.render_modules.MLPRender_PE",
+                "viewpe": 4, "pospe": 4, "featureC": 32},
+        }, app_dim=12)
+        rgb, _ = model.shade(
+            jnp.zeros((16, 4)), jnp.zeros((16, 4)), jnp.zeros((16, 12)),
+            jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (16, 1)), None,
+            jnp.ones((16,)), jnp.ones((16,), bool), 16)
+        assert rgb.shape == (16, 3)
+        assert (np.asarray(rgb) >= 0).all() and (np.asarray(rgb) <= 1).all()
+
+    def test_learnable_spherical_encoding_interpolates(self):
+        from nmf_tpu.modules.render_modules import (
+            init_learnable_spherical_encoding)
+
+        enc = init_learnable_spherical_encoding(jax.random.PRNGKey(0), 4, 128)
+        v = np.asarray(enc.sphere_pos[:, 5])
+        out_sharp = np.asarray(enc(jnp.asarray(v)[None], 0.02))[0]
+        # with a tight kernel the output approaches that point's weights
+        np.testing.assert_allclose(out_sharp, np.asarray(enc.weights[0, 5]),
+                                   atol=0.05)
+        # wide kernel -> close to global mean
+        out_wide = np.asarray(enc(jnp.asarray(v)[None], 10.0))[0]
+        np.testing.assert_allclose(out_wide,
+                                   np.asarray(enc.weights[0].mean(0)),
+                                   atol=0.05)
+
+
+class TestTabularize:
+    def test_collect_and_table(self, tmp_path):
+        import yaml
+
+        from nmf_tpu.scripts.tabularize import collect, render_table
+
+        run = tmp_path / "lego"
+        run.mkdir()
+        with open(run / "stats.yaml", "w") as f:
+            yaml.safe_dump({"psnr": [30.0, 32.0], "ssim": [0.9, 0.92]}, f)
+        run2 = tmp_path / "ficus"
+        run2.mkdir()
+        with open(run2 / "stats.yaml", "w") as f:
+            yaml.safe_dump({"psnr": [28.0]}, f)
+        rows = collect(tmp_path)
+        assert rows["lego"]["psnr"] == 31.0
+        assert rows["ficus"]["psnr"] == 28.0
+        table = render_table(rows, ["psnr", "ssim"])
+        assert "lego" in table and "mean" in table
