@@ -41,7 +41,8 @@ def main():
     key = jax.random.PRNGKey(0)
     # flagship-scale single-chip config
     nmf, cfg = _build_nmf(key, grid=128, bg_res=512, k_spr=128, recur_k=64,
-                          brdf_budget=(32768, 8192), retrace=1024)
+                          brdf_budget=(32768, 8192), retrace=1024,
+                          proposal=64)
 
     opt_cfg = trainer.OptimConfig(n_iters=30000)
     tx = trainer.make_optimizer(nmf, opt_cfg)

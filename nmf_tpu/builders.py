@@ -197,7 +197,8 @@ def build_normal_module(key, cfg, app_dim):
 def build_sampler(cfg, aabb, near_far):
     kw = _clean(cfg)
     allowed = {"enable_alpha_mask", "update_list", "max_samples",
-               "multiplier", "alphaMask_thres"}
+               "multiplier", "alphaMask_thres", "superstep",
+               "fine_alpha_test"}
     kw2 = {k: v for k, v in kw.items() if k in allowed}
     if "update_list" in kw2:
         kw2["update_list"] = tuple(kw2["update_list"])
@@ -232,7 +233,8 @@ def build_nmf(key, arch_cfg: Dict, aabb, near_far, grid_size=None) -> NMF:
                "orient_world_normals", "geonorm_iters",
                "geonorm_interp_iters", "eval_batch_size", "lr_scale",
                "max_samples_per_ray", "recur_samples_per_ray", "use_pallas",
-               "app_samples_per_ray"}
+               "app_samples_per_ray", "proposal_samples_per_ray",
+               "proposal_pad"}
     top = {k: v for k, v in arch_cfg.items() if k in allowed}
     # NOTE: the pallas composite kernel wins standalone (2.3x on
     # transmittance fwd+bwd) but currently LOSES inside the full train graph

@@ -22,6 +22,7 @@ import math
 from typing import Any, Optional, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from flax import struct
 
@@ -156,29 +157,55 @@ class Microfacet:
             0, M - 1)
         total = jnp.minimum(counts.sum(), budget)
         slot_valid = r_idx < total
-        within = (r_idx - starts[src]).astype(jnp.int32)
         kept = jnp.minimum(jnp.maximum(
             jnp.minimum(starts + counts, budget)
             - jnp.minimum(starts, budget), 0), counts)  # rays kept per sample
         ray_count = jnp.clip(kept.astype(jnp.float32), 1e-8)
 
-        # --- per-bounce-ray parent attributes ---
-        bV = -viewdirs[src]
-        bN = normals[src]
+        # --- per-bounce-ray parent attributes: ONE packed row gather.
+        # Separate per-attribute gathers each transpose to their own
+        # (M)-row scatter-add in the backward (~2.4 ms apiece measured);
+        # concatenating first makes it one gather + one scatter. Column
+        # slicing still happens BEFORE the gather: a fused xyz[src, :3]
+        # transposes to a 2D-index scatter that XLA serializes into a
+        # 32k-iteration while loop (~100 ms). ---
+        Cf = noise_app_features.shape[-1]
+        parent = jnp.concatenate([
+            viewdirs,                                   # 0:3
+            normals,                                    # 3:6
+            matprop["r1"][:, :1],                       # 6
+            noise_app_features,                         # 7:7+Cf
+            xyz[:, :3],                                 # +0:+3
+            matprop["f0"],                              # +3:+6
+            diffuse,                                    # +6:+9
+            counts[:, None].astype(jnp.float32),        # +9 (exact: <=400)
+            w[:, None],                                 # +10
+            ray_count[:, None],                         # +11 (pre-RR)
+            # starts only matter on valid slots, where they are < budget
+            # and thus exact in f32
+            starts[:, None].astype(jnp.float32),        # +12
+        ], axis=-1)
+        P = parent[src]
+        o = 7 + Cf
+        bV = -P[:, 0:3]
+        bN = P[:, 3:6]
         if self.detach_N:
             bN = jax.lax.stop_gradient(bN)
         bN = bN * jnp.sign((bV * bN).sum(-1, keepdims=True))
-        # slice columns BEFORE the row gather: a fused xyz[src, :3] transposes
-        # to a 2D-index scatter that XLA serializes into a 32k-iteration
-        # while loop (~100 ms); the row-gather of a pre-sliced array
-        # transposes to a vectorized row scatter-add
-        r1 = matprop["r1"][:, 0][src]
+        r1 = P[:, 6]
         if is_train:
             r1 = jnp.clip(r1, self.min_rough)
-        efeatures = noise_app_features[src]
-        exyz = xyz[:, :3][src]
+        efeatures = P[:, 7:o]
+        exyz = P[:, o:o + 3]
+        bR0 = P[:, o + 3:o + 6]
+        ediffuse = P[:, o + 6:o + 9]
+        bcounts = P[:, o + 9]
+        bw = P[:, o + 10]
+        brc = P[:, o + 11]
+        within = (r_idx - P[:, o + 12]).astype(jnp.int32)
 
-        u1, u2 = hammersley_draw(keys[3], within, counts[src], src)
+        u1, u2 = hammersley_draw(keys[3], within,
+                                 bcounts.astype(jnp.int32), src)
         L, basis, logD = self.brdf_sampler.sample(u1, u2, bV, bN, r1, r1)
 
         H = normalize((bV + L) / 2)
@@ -187,7 +214,7 @@ class Microfacet:
         diffvec = jnp.einsum("rij,rj->ri", basis, L)
         samp_prob = jnp.exp(logD)
 
-        mipval = -jnp.log(jnp.clip(counts[src].astype(jnp.float32), 1)) - logD
+        mipval = -jnp.log(jnp.clip(bcounts, 1)) - logD
         bounce_rays = jnp.concatenate([exyz + L * 5e-3, L], axis=-1)
 
         sg = jax.lax.stop_gradient
@@ -201,7 +228,7 @@ class Microfacet:
                                               retrace=False, rkey=keys[4])
         if recur < len(self.max_retrace_rays) and bg_module is not None:
             T = self.max_retrace_rays[recur]
-            per_sample_factor = w[src] / ray_count[src]
+            per_sample_factor = bw / brc
             per_ray_factor = (
                 brdf_weight.max(axis=-1)
                 * ((bV * bN).sum(-1) > 0)
@@ -233,18 +260,25 @@ class Microfacet:
                 slot_valid = slot_valid & (retraced_slot | ~rtmask[src])
 
         # --- composite bounce rays back onto samples (row_mask_sum ->
-        #     segment_sum; microfacet.py:565-619) ---
-        erc = ray_count[src][:, None]
-        spec = segment_sum_to(incoming_light / erc, src, slot_valid, M)
-        brdf_rgb = segment_sum_to(brdf_weight / erc, src, slot_valid, M)
+        #     segment_sum; microfacet.py:565-619). All segment sums share
+        # src, so they ride ONE packed scatter-add. ---
+        if (self.russian_roulette and recur < len(self.max_retrace_rays)
+                and bg_module is not None):
+            erc = ray_count[src][:, None]   # RR rewrote ray_count: re-gather
+        else:
+            erc = brc[:, None]
+
+        def packed_segment_sum(parts):
+            out = segment_sum_to(jnp.concatenate(parts, axis=-1) / erc,
+                                 src, slot_valid, M)
+            sizes = np.cumsum([0] + [p.shape[-1] for p in parts])
+            return [out[:, a:b] for a, b in zip(sizes[:-1], sizes[1:])]
 
         mode = self.diffuse_mixing_mode
         debug = {}
         if mode in ("fresnel", "fresnel_ind"):
-            R0 = matprop["f0"][src]
-            ediffuse = diffuse[src]
             costheta = jnp.abs((-bV * H).sum(-1, keepdims=True))
-            spec_reflectance = R0 + (1 - R0) * jnp.clip(
+            spec_reflectance = bR0 + (1 - bR0) * jnp.clip(
                 1 - costheta, 0, 1) ** 5
             if mode == "fresnel":
                 comb = (spec_reflectance * incoming_light * brdf_weight
@@ -252,20 +286,21 @@ class Microfacet:
             else:
                 comb = (spec_reflectance * incoming_light
                         + (1 - spec_reflectance) * ediffuse)
-            rgb = segment_sum_to(comb / erc, src, slot_valid, M)
+            spec, brdf_rgb, rgb = packed_segment_sum(
+                [incoming_light, brdf_weight, comb])
             R0s = matprop["f0"]
             cth = jnp.abs((-viewdirs * normals).sum(-1, keepdims=True))
             sr = R0s + (1 - R0s) * jnp.clip(1 - cth, 0, 1) ** 5
             debug["diffuse"] = (1 - sr) * diffuse
             debug["tint"] = (sr * brdf_rgb if mode == "fresnel" else sr)
         elif mode == "no_diffuse":
-            rgb = segment_sum_to(
-                incoming_light / erc * brdf_weight, src, slot_valid, M)
+            spec, brdf_rgb, rgb = packed_segment_sum(
+                [incoming_light, brdf_weight, incoming_light * brdf_weight])
             debug["diffuse"] = diffuse
             debug["tint"] = brdf_rgb
         else:  # 'lambda'
-            tinted = segment_sum_to(
-                incoming_light / erc * brdf_weight, src, slot_valid, M)
+            spec, brdf_rgb, tinted = packed_segment_sum(
+                [incoming_light, brdf_weight, incoming_light * brdf_weight])
             lam = tint.mean(axis=-1, keepdims=True)
             rgb = lam * tinted + (1 - lam) * diffuse
             rgb = jnp.where(counts[:, None] > 0, rgb, 0.0)

@@ -57,6 +57,12 @@ class NMF:
     use_pallas: bool = struct.field(pytree_node=False, default=False)
     # shade only the top-K' samples by transmittance weight (-1 = all)
     app_samples_per_ray: int = struct.field(pytree_node=False, default=-1)
+    # proposal resampling: run a stop-gradient density pass over the full
+    # (B, K) budget, then place this many weight-proportional fine samples
+    # and run the differentiable field + shading on those only (-1 = off).
+    # Halving the fine set halves the dominant field scatter/gather rows.
+    proposal_samples_per_ray: int = struct.field(pytree_node=False, default=-1)
+    proposal_pad: float = struct.field(pytree_node=False, default=0.01)
 
     def check_schedule(self, iteration: int, batch_mul: int = 1):
         """Host-side schedule tick. Returns (new_self, needs_optimizer_reinit)."""
@@ -121,6 +127,27 @@ def render(nmf: NMF, rays, key, focal=1.0, is_train=False, bg_col=(1.0, 1.0, 1.0
         sg = jax.lax.stop_gradient
         xyz, z_vals, dists = sg(xyz), sg(z_vals), sg(dists)
     K = xyz.shape[1]
+
+    # ---- optional proposal resampling: stop-gradient density over the full
+    # budget, then concentrate the differentiable field + shading work on a
+    # smaller weight-proportional fine set ----
+    kf = nmf.proposal_samples_per_ray if recur == 0 else -1
+    if 0 < kf < K:
+        from .ops.resample import resample_pdf
+
+        rf_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, nmf.rf)
+        dkw = ({"use_gather_dtype": True}
+               if hasattr(nmf.rf, "gather_dtype") else {})
+        sigma_p = rf_sg.compute_densityfeature(
+            xyz.reshape(-1, 4), **dkw).reshape(B, K)
+        sigma_p = jnp.where(valid, sigma_p, 0.0)
+        w_p, _ = raw2alpha(sigma_p, dists * nmf.rf.distance_scale)
+        z_vals, dists, _, valid = resample_pdf(
+            keys[2], z_vals, dists, w_p, valid, kf, is_train,
+            nmf.proposal_pad)
+        pts = rays[:, None, 0:3] + rays[:, None, 3:6] * z_vals[..., None]
+        xyz = jnp.concatenate([pts, z_vals[..., None] / focal], axis=-1)
+        K = kf
 
     needs_normals = nmf.model.needs_normals(recur)
     app_k = nmf.app_samples_per_ray if recur == 0 else -1

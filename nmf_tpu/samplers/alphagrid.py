@@ -29,6 +29,10 @@ class AlphaGridMask:
     """Dense binarized alpha volume lookup (reference AlphaGridMask)."""
     aabb: Any          # (2, 3)
     alpha_volume: Any  # (D, H, W) float {0,1}; indexed [z, y, x]
+    # alpha_volume dilated by an extra maxpool so ONE lookup at a superstep
+    # midpoint conservatively covers the superstep's whole ray extent
+    # (two-level march; None when superstepping is off)
+    coarse_volume: Any = None
 
     def sample_alpha(self, xyz, nearest=True):
         """xyz: (..., 3/4) world -> alpha (...).
@@ -53,6 +57,18 @@ class AlphaGridMask:
             2.0 / (self.aabb[1] - self.aabb[0])) - 1
         return grid_sample_3d(self.alpha_volume[None], coords)[..., 0]
 
+    def sample_coarse(self, xyz):
+        """Nearest-cell lookup of the extra-dilated coarse volume."""
+        vol = (self.coarse_volume if self.coarse_volume is not None
+               else self.alpha_volume)
+        D, H, W = vol.shape
+        unit = (xyz[..., :3] - self.aabb[0]) / (self.aabb[1] - self.aabb[0])
+        unit = jnp.clip(unit, 0.0, 1.0)
+        iz = jnp.round(unit[..., 2] * (D - 1)).astype(jnp.int32)
+        iy = jnp.round(unit[..., 1] * (H - 1)).astype(jnp.int32)
+        ix = jnp.round(unit[..., 0] * (W - 1)).astype(jnp.int32)
+        return vol[iz, iy, ix]
+
 
 @struct.dataclass
 class AlphaGridSampler:
@@ -74,6 +90,15 @@ class AlphaGridSampler:
     cumrand: bool = struct.field(pytree_node=False, default=True)
     grid_size: Tuple[int, int, int] = struct.field(
         pytree_node=False, default=(200, 200, 200))
+    # two-level march: test ONE extra-dilated alpha lookup per superstep of
+    # this many fine steps, compact supersteps, then expand. Cuts the alpha
+    # gather (the sampler's dominant cost: ~10.5 ns per gathered row no
+    # matter how narrow) by ~superstep x. 0/1 disables.
+    superstep: int = struct.field(pytree_node=False, default=4)
+    # apply the fine-resolution alpha test to the expanded samples (exact
+    # reference culling parity); off leaves validity to the coarse test and
+    # saves one (B*K)-row gather
+    fine_alpha_test: bool = struct.field(pytree_node=False, default=True)
 
     # ------------------------------------------------------------------
     def update(self, rf, init: bool = False):
@@ -92,10 +117,23 @@ class AlphaGridSampler:
             # keep the pytree structure stable from step 0 (an optimizer
             # label tree is built once over the model): start with an
             # everything-occupied mask instead of None
+            # distinct buffers per leaf (jit donation forbids aliasing)
             new = new.replace(alpha_mask=AlphaGridMask(
                 aabb=jnp.array(rf.aabb),
-                alpha_volume=jnp.ones((32, 32, 32), jnp.float32)))
+                alpha_volume=jnp.ones((32, 32, 32), jnp.float32),
+                coarse_volume=(jnp.ones((32, 32, 32), jnp.float32)
+                               if new.superstep > 1 else None)))
         return new
+
+    def _coarse_dilate_radius(self, gs) -> int:
+        """Cells of extra dilation so one lookup at a superstep midpoint
+        covers the superstep's ray extent: half-extent is up to
+        0.75 * superstep * stepsize (cumrand jitter draws steps up to
+        1.5 * stepsize), plus half a cell of nearest-rounding error."""
+        extent = np.asarray(self.aabb[1] - self.aabb[0], np.float64)
+        unit_min = float((extent / (np.asarray(gs, np.float64) - 1)).min())
+        return int(np.ceil(0.75 * self.superstep * self.stepsize / unit_min
+                           + 0.5))
 
     def check_schedule(self, iteration: int, batch_mul: int, rf):
         if iteration in [i * batch_mul for i in self.update_list]:
@@ -127,8 +165,13 @@ class AlphaGridSampler:
         alpha_t = jnp.clip(alpha, 0, 1).transpose(2, 1, 0)  # (Z, Y, X)
         alpha_t = max_pool_3d(alpha_t, 3)
         alpha_bin = (alpha_t >= self.alpha_mask_thres).astype(jnp.float32)
+        coarse = None
+        if self.superstep > 1:
+            r = self._coarse_dilate_radius(gs)
+            coarse = max_pool_3d(alpha_bin, 2 * r + 1)
         # copy aabb: leaves must not alias (jit buffer donation)
-        mask = AlphaGridMask(aabb=jnp.array(self.aabb), alpha_volume=alpha_bin)
+        mask = AlphaGridMask(aabb=jnp.array(self.aabb), alpha_volume=alpha_bin,
+                             coarse_volume=coarse)
 
         occupied = np.asarray(alpha_bin.transpose(2, 1, 0)) > 0.5  # (X, Y, Z)
         xyz_np = np.asarray(dense_xyz)
@@ -222,6 +265,19 @@ class AlphaGridSampler:
             step = stepsize * jnp.arange(N, dtype=jnp.float32)[None].repeat(B, 0)
 
         z_vals = t_min[:, None] + step  # (B, N)
+
+        K = max_samples_per_ray
+        S = self.superstep
+        use_two_level = (S > 1 and 0 < K < N and K % S == 0
+                         and self.alpha_mask is not None
+                         and self.enable_alpha_mask
+                         # getattr: tolerate checkpoints pickled before the
+                         # coarse volume existed
+                         and getattr(self.alpha_mask, "coarse_volume", None)
+                         is not None)
+        if use_two_level:
+            return self._sample_two_level(rays_o, rays_d, z_vals, K, focal)
+
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
         in_bbox = jnp.all((pts >= self.aabb[0]) & (pts <= self.aabb[1]), axis=-1)
         valid = in_bbox
@@ -252,3 +308,49 @@ class AlphaGridSampler:
             xyz = jnp.concatenate([pts, size], axis=-1)
 
         return {"xyz": xyz, "z_vals": z_vals, "dists": dists, "valid": valid}
+
+    def _sample_two_level(self, rays_o, rays_d, z_vals, K: int, focal):
+        """Two-level march: one coarse-mask lookup per superstep of S fine
+        steps, compact the passing supersteps to K//S, then expand.
+
+        The coarse volume is the alpha mask dilated by the superstep's ray
+        half-extent, so the midpoint test is conservative: no fine sample an
+        exact march would keep tests negative here. The only semantic
+        difference from the flat march is truncation granularity: budget is
+        allocated per superstep rather than per sample.
+        """
+        B, N = z_vals.shape
+        S = self.superstep
+        NS = N // S
+        Ks = K // S
+        z = z_vals[:, :NS * S]
+        # per-candidate spacing BEFORE selection (the reference computes
+        # dists on the full step set; a kept sample keeps its distance to
+        # the next candidate, not to the next kept sample)
+        dists_full = jnp.concatenate(
+            [z[:, 1:] - z[:, :-1], jnp.zeros((B, 1))], axis=-1)
+        zs = z.reshape(B, NS, S)
+        ds = dists_full.reshape(B, NS, S)
+
+        def in_box(p):
+            return jnp.all((p >= self.aabb[0]) & (p <= self.aabb[1]), axis=-1)
+
+        def at(zv):
+            return rays_o[:, None, :] + rays_d[:, None, :] * zv[..., None]
+
+        z_mid = 0.5 * (zs[:, :, 0] + zs[:, :, -1])
+        sup_valid = in_box(at(zs[:, :, 0])) | in_box(at(zs[:, :, -1]))
+        sup_valid &= self.alpha_mask.sample_coarse(at(z_mid)) > 0
+
+        idx_s, keep_s = compact_topk(sup_valid, Ks)
+        packed = jnp.concatenate([zs, ds], axis=-1)      # (B, NS, 2S)
+        sel = gather_rows(packed, idx_s)                 # (B, Ks, 2S)
+        z_f = sel[..., :S].reshape(B, K)
+        d_f = sel[..., S:].reshape(B, K)
+        pts = at(z_f)
+        valid = in_box(pts) & jnp.repeat(keep_s, S, axis=1)
+        if self.fine_alpha_test:
+            valid &= self.alpha_mask.sample_alpha(pts) > 0
+        size = z_f[..., None] / focal
+        xyz = jnp.concatenate([pts, size], axis=-1)
+        return {"xyz": xyz, "z_vals": z_f, "dists": d_f, "valid": valid}

@@ -176,6 +176,81 @@ class TestSampler:
         out = s.sample(rays, is_train=False, max_samples_per_ray=16)
         assert out["valid"].shape == (4, 16)
 
+    def _rays(self, n=16, seed=0):
+        rng = np.random.default_rng(seed)
+        d = rng.normal(size=(n, 3))
+        d[:, 2] = np.abs(d[:, 2]) + 1.0
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        o = np.tile([[0.0, 0.0, -4.0]], (n, 1))
+        return jnp.asarray(np.concatenate([o, d], -1), jnp.float32)
+
+    def test_two_level_matches_flat_with_full_mask(self):
+        """All-ones mask + enough in-box candidates: the superstep march
+        must pick exactly the same first-K samples as the flat march."""
+        rf = small_field()
+        s = self.make(rf)
+        ones = jnp.ones((8, 8, 8))
+        mask = AlphaGridMask(aabb=jnp.asarray(AABB), alpha_volume=ones,
+                             coarse_volume=ones)
+        rays = self._rays(16)
+        key = jax.random.PRNGKey(3)
+        a = s.replace(alpha_mask=mask, superstep=0).sample(
+            rays, key=key, is_train=True, max_samples_per_ray=32)
+        b = s.replace(alpha_mask=mask, superstep=4).sample(
+            rays, key=key, is_train=True, max_samples_per_ray=32)
+        # identical jitter -> identical kept z/dists wherever both are valid
+        both = np.asarray(a["valid"]) & np.asarray(b["valid"])
+        assert both.sum() > 0.9 * np.asarray(a["valid"]).sum()
+        np.testing.assert_allclose(np.asarray(a["z_vals"])[both],
+                                   np.asarray(b["z_vals"])[both], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(a["dists"])[both],
+                                   np.asarray(b["dists"])[both], rtol=1e-5)
+
+    def test_two_level_never_drops_valid_samples_of_flat(self):
+        """Blob mask: every fine sample the flat march keeps must also be
+        kept by the conservative superstep march (until budget)."""
+        rf = small_field()
+        s = self.make(rf)
+        G = 16
+        ii = np.stack(np.meshgrid(*[np.arange(G)] * 3, indexing="ij"), -1)
+        blob = (np.linalg.norm(ii - G / 2, axis=-1) < 3.5).astype(np.float32)
+        vol = jnp.asarray(blob)  # (z,y,x) symmetric blob
+        r = s._coarse_dilate_radius((G, G, G))
+        from nmf_tpu.ops.grid_sample import max_pool_3d
+        mask = AlphaGridMask(aabb=jnp.asarray(AABB), alpha_volume=vol,
+                             coarse_volume=max_pool_3d(vol, 2 * r + 1))
+        rays = self._rays(32, seed=1)
+        key = jax.random.PRNGKey(7)
+        flat = s.replace(alpha_mask=mask, superstep=0).sample(
+            rays, key=key, is_train=True, max_samples_per_ray=64)
+        two = s.replace(alpha_mask=mask, superstep=4).sample(
+            rays, key=key, is_train=True, max_samples_per_ray=64)
+        for b in range(32):
+            zf = np.asarray(flat["z_vals"])[b][np.asarray(flat["valid"])[b]]
+            zt = np.asarray(two["z_vals"])[b][np.asarray(two["valid"])[b]]
+            missing = sorted(set(np.round(zf, 5)) - set(np.round(zt, 5)))
+            assert not missing, (b, missing)
+
+    def test_two_level_in_renderer_parity(self):
+        """End-to-end: rendering with the superstep sampler matches the
+        flat sampler closely on a trained-ish field."""
+        from nmf_tpu.render import render
+        from nmf_tpu.models.tensorf import init_tensorf_shade
+        from nmf_tpu.render import NMF
+
+        rf = small_field()
+        s = self.make(rf)
+        s2, _ = s.update_alpha_mask(rf, (16, 16, 16))
+        model = init_tensorf_shade(jax.random.PRNGKey(1), rf.app_dim)
+        rays = self._rays(16, seed=2)
+        outs = []
+        for ss in (0, 4):
+            nmf = NMF(rf=rf, sampler=s2.replace(superstep=ss), model=model,
+                      max_samples_per_ray=32)
+            ims, _ = render(nmf, rays, jax.random.PRNGKey(5), is_train=False)
+            outs.append(np.asarray(ims["rgb_map"]))
+        np.testing.assert_allclose(outs[0], outs[1], atol=5e-3)
+
 
 class TestGGX:
     def test_mirror_at_low_roughness(self):

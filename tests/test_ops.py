@@ -257,3 +257,77 @@ class TestUtils:
     def test_ssim_identity(self):
         img = np.random.default_rng(1).uniform(size=(16, 16, 3))
         assert utils.rgb_ssim(img, img) == pytest.approx(1.0, abs=1e-6)
+
+
+class TestResamplePdf:
+    def _setup(self, B=16, K=64):
+        z = jnp.broadcast_to(2.0 + 4.0 * jnp.arange(K) / K, (B, K))
+        dists = jnp.full((B, K), 4.0 / K)
+        return z, dists
+
+    def test_concentrates_on_heavy_segments(self):
+        from nmf_tpu.ops.resample import resample_pdf
+
+        B, K = 16, 64
+        z, dists = self._setup(B, K)
+        w = jnp.zeros((B, K)).at[:, 20:24].set(1.0)
+        valid = jnp.ones((B, K), bool)
+        z_f, d_f, src, v_f = resample_pdf(
+            jax.random.PRNGKey(0), z, dists, w, valid, 32, True, pad=0.01)
+        frac_in = ((src >= 20) & (src < 24)).mean()
+        assert frac_in > 0.8, frac_in
+        assert bool(v_f.all())
+        assert np.all(np.diff(np.asarray(z_f), axis=1) >= -1e-6)
+
+    def test_intervals_partition_occupied_length(self):
+        """Fine dists must sum to the total valid segment length: the
+        quadrature covers every occupied region (no silent absorption
+        loss), gaps excluded."""
+        from nmf_tpu.ops.resample import resample_pdf
+
+        B, K = 8, 32
+        z, dists = self._setup(B, K)
+        w = jax.random.uniform(jax.random.PRNGKey(1), (B, K))
+        valid = jax.random.uniform(jax.random.PRNGKey(2), (B, K)) > 0.4
+        z_f, d_f, src, v_f = resample_pdf(
+            jax.random.PRNGKey(3), z, dists, w, valid, 64, False)
+        total = np.asarray(jnp.where(valid, dists, 0.0).sum(-1))
+        np.testing.assert_allclose(np.asarray(d_f).sum(-1), total, rtol=1e-4)
+
+    def test_fine_positions_inside_valid_segments(self):
+        from nmf_tpu.ops.resample import resample_pdf
+
+        B, K = 8, 32
+        z, dists = self._setup(B, K)
+        w = jax.random.uniform(jax.random.PRNGKey(3), (B, K))
+        valid = jax.random.uniform(jax.random.PRNGKey(4), (B, K)) > 0.5
+        z_f, d_f, src, v_f = resample_pdf(
+            jax.random.PRNGKey(5), z, dists, w, valid, 48, False)
+        zl = np.take_along_axis(np.asarray(z), np.asarray(src), 1)
+        assert np.all(np.asarray(z_f) >= zl - 1e-5)
+        assert np.all(np.asarray(z_f) <= zl + 4.0 / K + 1e-5)
+        # midpoints only land in valid segments
+        vs = np.take_along_axis(np.asarray(valid), np.asarray(src), 1)
+        assert vs.all()
+
+    def test_degenerate_ray_flagged_invalid(self):
+        from nmf_tpu.ops.resample import resample_pdf
+
+        B, K = 2, 16
+        z, dists = self._setup(B, K)
+        w = jnp.zeros((B, K))
+        valid = jnp.zeros((B, K), bool)
+        _, _, _, v_f = resample_pdf(
+            jax.random.PRNGKey(0), z, dists, w, valid, 8, False)
+        assert not bool(v_f.any())
+
+    def test_eval_is_deterministic(self):
+        from nmf_tpu.ops.resample import resample_pdf
+
+        B, K = 4, 32
+        z, dists = self._setup(B, K)
+        w = jax.random.uniform(jax.random.PRNGKey(6), (B, K))
+        valid = jnp.ones((B, K), bool)
+        a = resample_pdf(jax.random.PRNGKey(0), z, dists, w, valid, 16, False)
+        b = resample_pdf(jax.random.PRNGKey(9), z, dists, w, valid, 16, False)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))

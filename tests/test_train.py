@@ -213,3 +213,58 @@ class TestTwoStageShading:
         # acc map must be identical (computed from the full budget)
         np.testing.assert_allclose(np.asarray(full["acc_map"]),
                                    np.asarray(half["acc_map"]), atol=1e-5)
+
+
+class TestProposalResampling:
+    def test_overfits_sphere_with_proposal(self):
+        """Training with the stop-gradient proposal pass + weight-
+        proportional fine resampling still fits the scene."""
+        ds = make_sphere_dataset(n_views=6, H=48, W=48)
+        key = jax.random.PRNGKey(0)
+        key, bk = jax.random.split(key)
+        nmf = build_small(bk, ds, grid=48, k_spr=96)
+        nmf = nmf.replace(proposal_samples_per_ray=48)
+
+        cfg = trainer.OptimConfig(n_iters=300)
+        tx = trainer.make_optimizer(nmf, cfg)
+        opt_state = tx.init(nmf)
+        step = trainer.make_train_step(tx)
+        weights = trainer.LossWeights(ori_lambda=0.0, pred_lambda=0.0)
+        samp = trainer.SimpleSampler(ds["all_rays"].shape[0], 1024)
+        for it in range(100):
+            ids = samp.nextids()
+            key, sk = jax.random.split(key)
+            nmf, opt_state, metrics = step(
+                nmf, opt_state,
+                jnp.asarray(ds["all_rays"][ids]),
+                jnp.asarray(ds["all_rgbs"][ids]),
+                jnp.ones(3), sk, weights)
+        psnr = -10 * np.log10(float(metrics["photo_mse"]))
+        assert psnr > 17.0, psnr
+
+    def test_render_parity_with_and_without_proposal(self):
+        """On a trained field, a dense proposal pass (fine == full budget)
+        renders close to the exact full-budget pass."""
+        ds = make_sphere_dataset(n_views=4, H=32, W=32)
+        key = jax.random.PRNGKey(1)
+        nmf = build_small(key, ds, grid=32, k_spr=64)
+        # brief fit so the field has structure
+        cfg = trainer.OptimConfig(n_iters=200)
+        tx = trainer.make_optimizer(nmf, cfg)
+        opt_state = tx.init(nmf)
+        step = trainer.make_train_step(tx)
+        weights = trainer.LossWeights(ori_lambda=0.0, pred_lambda=0.0)
+        samp = trainer.SimpleSampler(ds["all_rays"].shape[0], 1024)
+        for it in range(60):
+            key, sk = jax.random.split(key)
+            ids = samp.nextids()
+            nmf, opt_state, _ = step(
+                nmf, opt_state, jnp.asarray(ds["all_rays"][ids]),
+                jnp.asarray(ds["all_rgbs"][ids]), jnp.ones(3), sk, weights)
+        rays = jnp.asarray(ds["all_rays"][:256])
+        base, _ = render(nmf, rays, jax.random.PRNGKey(2), is_train=False)
+        prop, _ = render(nmf.replace(proposal_samples_per_ray=64), rays,
+                         jax.random.PRNGKey(2), is_train=False)
+        err = np.abs(np.asarray(base["rgb_map"])
+                     - np.asarray(prop["rgb_map"])).mean()
+        assert err < 0.02, err
