@@ -48,7 +48,51 @@ def build_encoder(cfg):
         return PE(max_degree=kw.get("max_degree", 8))
     if t.endswith("IPE"):
         return IPE(max_degree=kw.get("max_degree", 8))
+    if t.endswith("FullISHScaled"):
+        from .modules.ish import FullISHScaled
+
+        return FullISHScaled(max_degree=kw.get("max_degree", 1))
+    if t.endswith("RandRotISH"):
+        from .modules.ish import RandRotISH
+
+        return RandRotISH(rand_n=kw.get("rand_n", 4),
+                          core_degs=tuple(kw.get("core_degs", (1, 2, 4, 8))),
+                          rand_degs=tuple(kw.get("rand_degs", (8,))))
+    if t.endswith("RandISH"):
+        from .modules.ish import RandISH
+
+        return RandISH(rand_n=kw.get("rand_n", 8), std=kw.get("std", 10.0))
+    if t.endswith("SHBasis"):
+        from .modules.ish import SHBasis
+
+        return SHBasis(deg=kw.get("deg", 1))
+    if t.endswith("ISH"):
+        from .modules.ish import ISH
+
+        return ISH(max_degree=kw.get("max_degree", 1))
     raise ValueError(f"unknown encoder target {t}")
+
+
+def build_diffuse(key, cfg, app_dim):
+    """Material-head dispatch (diffuse_module _target_s). Order matters:
+    RandHydraMLPDiffuse endswith HydraMLPDiffuse endswith MLPDiffuse."""
+    t = _target(cfg)
+    kw = _clean(cfg)
+    if t.endswith("PassthroughDiffuse"):
+        from .modules.render_modules import PassthroughDiffuse
+
+        return PassthroughDiffuse()
+    if t.endswith("RandHydraMLPDiffuse") or not t:
+        return init_rand_hydra_diffuse(key, app_dim, **kw)
+    if t.endswith("HydraMLPDiffuse"):
+        from .modules.render_modules import init_hydra_diffuse
+
+        return init_hydra_diffuse(key, app_dim, **kw)
+    if t.endswith("MLPDiffuse"):
+        from .modules.render_modules import init_mlp_diffuse
+
+        return init_mlp_diffuse(key, app_dim, **kw)
+    raise ValueError(f"unknown diffuse module {t}")
 
 
 def build_brdf_sampler(cfg):
@@ -126,7 +170,7 @@ def build_model(key, cfg, app_dim):
         sampler_cfg = kw.pop("brdf_sampler", None) or {}
         kw.pop("visibility_module", None)
         kw.pop("bright_sampler", None)
-        dm = init_rand_hydra_diffuse(k1, app_dim, **_clean(dm_cfg))
+        dm = build_diffuse(k1, dm_cfg, app_dim)
         brdf_kw = _clean(brdf_cfg)
         brdf_kw["h_encoder"] = build_encoder(brdf_kw.pop("h_encoder", None))
         brdf_kw["d_encoder"] = build_encoder(brdf_kw.pop("d_encoder", None))
@@ -156,7 +200,7 @@ def build_model(key, cfg, app_dim):
         ref_cfg = _clean(kw.pop("ref_module", None) or {})
         if "ref_encoder" in ref_cfg:
             ref_cfg["ref_encoder"] = build_encoder(ref_cfg["ref_encoder"])
-        dm = init_rand_hydra_diffuse(k1, app_dim, **_clean(dm_cfg))
+        dm = build_diffuse(k1, dm_cfg, app_dim)
         return init_refnerf(k2, app_dim, diffuse_module=dm,
                             ref_module_cfg=ref_cfg)
     if t.endswith("DualModel"):
@@ -191,6 +235,10 @@ def build_normal_module(key, cfg, app_dim):
     t = _target(cfg)
     if t.endswith("MLPNormal"):
         return init_mlp_normal(key, app_dim, **_clean(cfg))
+    if t.endswith("AppDimNormal"):
+        from .modules.render_modules import AppDimNormal
+
+        return AppDimNormal()
     raise ValueError(f"unknown normal module {t}")
 
 

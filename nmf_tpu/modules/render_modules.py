@@ -282,3 +282,183 @@ def init_learnable_spherical_encoding(key, out_channels, out_res, lr=1e-3):
     weights = jax.random.uniform(key, (1, out_res, out_channels))
     return LearnableSphericalEncoding(
         weights=weights, sphere_pos=_fibonacci_sphere(out_res, eps), lr=lr)
+
+
+@struct.dataclass
+class PassthroughDiffuse:
+    """Material head that slices raw field features (render_modules.py:
+    302-329): no parameters, used to give appearance features direct
+    material meaning."""
+    lr: float = struct.field(pytree_node=False, default=0.0)
+
+    def __call__(self, pts, viewdirs, features, **kwargs):
+        diffuse = jax.nn.sigmoid(features[..., 0:3] - 3)
+        roughness = jnp.clip(jax.nn.sigmoid(features[..., 3:4] + 2),
+                             1e-2) / 2
+        ambient = jax.nn.sigmoid(features[..., 4:5] - 2)
+        tint = jax.nn.sigmoid(features[..., 5:8])
+        return diffuse, tint, dict(
+            ambient=ambient, diffuse=diffuse, roughness=roughness,
+            r1=roughness, r2=roughness,
+            f0=jnp.full_like(diffuse, 0.04))
+
+    def calibrate(self, *args, **kwargs):
+        return self
+
+
+@struct.dataclass
+class MLPDiffuse:
+    """Single 10-output MLP material head (render_modules.py:698-803):
+    [diffuse(3), tint(3), ambient(1), r1, r2, f0]."""
+    mlp: MLP
+    diffuse_bias: Any = -2.0
+    tint_bias: float = struct.field(pytree_node=False, default=-1.0)
+    roughness_bias: Any = 1.0
+    diffuse_mul: float = struct.field(pytree_node=False, default=1.0)
+    pospe: int = struct.field(pytree_node=False, default=12)
+    feape: int = struct.field(pytree_node=False, default=6)
+    lr: float = struct.field(pytree_node=False, default=1e-4)
+
+    def _inputs(self, pts, features):
+        size = jnp.broadcast_to(pts[..., 3:4], pts[..., :3].shape)
+        p3 = pts[..., :3]
+        indata = []
+        if self.pospe >= 0:
+            indata.append(p3)
+        if self.pospe > 0:
+            indata.append(integrated_pos_enc((p3, size), 0, self.pospe))
+        if self.feape >= 0:
+            indata.append(features)
+        if self.feape > 0:
+            indata.append(positional_encoding(features, self.feape))
+        return jnp.concatenate(indata, axis=-1)
+
+    def __call__(self, pts, viewdirs, features, **kwargs):
+        out = self.mlp(self._inputs(pts, features))
+        ambient = jax.nn.sigmoid(out[..., 6:7] - 2)
+        r1 = jax.nn.sigmoid(out[..., 7:8] + self.roughness_bias) \
+            * (1 - 1e-3) + 1e-3
+        r2 = jax.nn.sigmoid(out[..., 8:9] + self.roughness_bias) \
+            * (1 - 1e-3) + 1e-3
+        tint = jax.nn.sigmoid(out[..., 3:6] + self.tint_bias)
+        f0 = jax.nn.sigmoid(out[..., 9:10] + 3) * (1 - 0.001) + 0.001
+        diffuse = jax.nn.sigmoid(
+            self.diffuse_mul * out[..., 0:3] + self.diffuse_bias)
+        return diffuse, tint, dict(ambient=ambient, r1=r1, r2=r2, f0=f0,
+                                   tint=tint, diffuse=diffuse)
+
+    def calibrate(self, mean_brightness, conserve_energy, pts, viewdirs,
+                  features, start_roughness=0.35):
+        diffuse, _, extra = self(pts, viewdirs, features)
+        v = (0.5 if conserve_energy else 0.25) / float(mean_brightness)
+        dbias = self.diffuse_bias + float(
+            safemath.inv_sigmoid(jnp.clip(v, 1e-4, 1 - 1e-4))
+            - safemath.inv_sigmoid(jnp.clip(diffuse, 1e-6, 1 - 1e-6)).mean())
+        rough = (extra["r1"] + extra["r2"]) / 4
+        rbias = self.roughness_bias + float(
+            safemath.inv_sigmoid(jnp.asarray(start_roughness))
+            - safemath.inv_sigmoid(jnp.clip(rough, 1e-6, 1 - 1e-6)).mean())
+        return self.replace(diffuse_bias=dbias, roughness_bias=rbias)
+
+
+def init_mlp_diffuse(key, in_channels, pospe=12, feape=6, featureC=128,
+                     num_layers=4, lr=1e-4, **_):
+    in_w = 0
+    if pospe >= 0:
+        in_w += 3
+    if pospe > 0:
+        in_w += 2 * pospe * 3
+    if feape >= 0:
+        in_w += in_channels
+    if feape > 0:
+        in_w += 2 * feape * in_channels
+    mlp = create_mlp(key, in_w, 10, num_layers=num_layers, hidden_w=featureC)
+    return MLPDiffuse(mlp=mlp, pospe=pospe, feape=feape, lr=lr)
+
+
+@struct.dataclass
+class HydraMLPDiffuse:
+    """Hydra material head without train-time noise (render_modules.py:
+    577-695): separate diffuse/tint/roughness MLPs. The reference variant
+    emits no f0; a Schlick dielectric default rides along so fresnel mixing
+    modes stay usable."""
+    diffuse_mlp: MLP
+    tint_mlp: MLP
+    roughness_mlp: MLP
+    diffuse_bias: Any = -2.0
+    roughness_bias: Any = 1.0
+    tint_bias: float = struct.field(pytree_node=False, default=-1.0)
+    diffuse_mul: float = struct.field(pytree_node=False, default=1.0)
+    pospe: int = struct.field(pytree_node=False, default=12)
+    feape: int = struct.field(pytree_node=False, default=6)
+    lr: float = struct.field(pytree_node=False, default=1e-4)
+
+    def _inputs(self, pts, features):
+        size = jnp.broadcast_to(pts[..., 3:4], pts[..., :3].shape)
+        p3 = pts[..., :3]
+        indata = []
+        if self.pospe >= 0:
+            indata.append(p3)
+        if self.pospe > 0:
+            indata.append(integrated_pos_enc((p3, size), 0, self.pospe))
+        if self.feape >= 0:
+            indata.append(features)
+        if self.feape > 0:
+            indata.append(positional_encoding(features, self.feape))
+        return jnp.concatenate(indata, axis=-1)
+
+    def __call__(self, pts, viewdirs, features, **kwargs):
+        x = self._inputs(pts, features)
+        diffuse = jax.nn.sigmoid(
+            self.diffuse_mul * self.diffuse_mlp(x) + self.diffuse_bias)
+        r = jax.nn.sigmoid(self.roughness_mlp(x) + self.roughness_bias) / 2
+        tint = jax.nn.sigmoid(self.tint_mlp(x) + self.tint_bias)
+        return diffuse, tint, dict(
+            diffuse=diffuse, r1=r[..., 0:1], r2=r[..., 1:2], tint=tint,
+            f0=jnp.full_like(diffuse, 0.04))
+
+    def calibrate(self, mean_brightness, conserve_energy, pts, viewdirs,
+                  features, start_roughness=0.35):
+        diffuse, _, extra = self(pts, viewdirs, features)
+        v = (0.5 if conserve_energy else 0.25) / float(mean_brightness)
+        dbias = self.diffuse_bias + float(
+            safemath.inv_sigmoid(jnp.clip(v, 1e-4, 1 - 1e-4))
+            - safemath.inv_sigmoid(jnp.clip(diffuse, 1e-6, 1 - 1e-6)).mean())
+        rough = (extra["r1"] + extra["r2"]) / 4
+        rbias = self.roughness_bias + float(
+            safemath.inv_sigmoid(jnp.asarray(start_roughness))
+            - safemath.inv_sigmoid(jnp.clip(rough, 1e-6, 1 - 1e-6)).mean())
+        return self.replace(diffuse_bias=dbias, roughness_bias=rbias)
+
+
+def init_hydra_diffuse(key, in_channels, pospe=12, feape=6, featureC=128,
+                       num_layers=4, lr=1e-4, **_):
+    in_w = 0
+    if pospe >= 0:
+        in_w += 3
+    if pospe > 0:
+        in_w += 2 * pospe * 3
+    if feape >= 0:
+        in_w += in_channels
+    if feape > 0:
+        in_w += 2 * feape * in_channels
+    ks = jax.random.split(key, 3)
+    return HydraMLPDiffuse(
+        diffuse_mlp=create_mlp(ks[0], in_w, 3, num_layers=num_layers,
+                               hidden_w=featureC),
+        tint_mlp=create_mlp(ks[1], in_w, 3, num_layers=num_layers,
+                            hidden_w=featureC),
+        roughness_mlp=create_mlp(ks[2], in_w, 2, num_layers=num_layers,
+                                 hidden_w=featureC),
+        pospe=pospe, feape=feape, lr=lr)
+
+
+@struct.dataclass
+class AppDimNormal:
+    """Normals read directly from appearance-feature channels
+    (render_modules.py:895-909)."""
+    lr: float = struct.field(pytree_node=False, default=1.0)
+
+    def __call__(self, pts, features, geo_norms=None, **kwargs):
+        raw = features[..., 0:3]
+        return raw / (jnp.linalg.norm(raw, axis=-1, keepdims=True) + 1e-8)

@@ -71,10 +71,15 @@ def resample_pdf(key, z_vals, dists, weights, valid, n_fine: int,
         ge = (queries[:, :, None] >= keys_desc[:, None, :])
         idx = jnp.minimum(ge.sum(-1), K - 1).astype(jnp.int32)
         gef = ge.astype(payload.dtype)
-        oh = jnp.concatenate(
-            [jnp.ones_like(gef[:, :, :1]), gef[:, :, :-1]], axis=-1) - gef
-        # the clip to K-1 moves the last transition onto column K-1
-        oh = oh.at[:, :, K - 1].add(gef[:, :, K - 1])
+        # one-hot at the 1->0 transition of the monotone ge row; the last
+        # column uses ge[K-2] alone so the c==K (all-ones) case lands on
+        # K-1 too. (An .at[:, :, K-1].add formulation lowers to a full-size
+        # dynamic-update-slice copy, ~0.9 ms per call.)
+        left = jnp.concatenate(
+            [jnp.ones_like(gef[:, :, :1]), gef[:, :, :-1]], axis=-1)
+        right = jnp.concatenate(
+            [gef[:, :, :-1], jnp.zeros_like(gef[:, :, :1])], axis=-1)
+        oh = left - right
         # HIGHEST: the TPU default feeds bf16 into the MXU, which rounds
         # the gathered cdf values until adjacent entries collide and the
         # downstream (cdf_i - cdf_prev) division explodes

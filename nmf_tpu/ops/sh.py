@@ -166,3 +166,18 @@ def sh_basis(degs, dirs, kappa=None):
 
 def sh_basis_dim(degs) -> int:
     return sum(2 * d + 1 for d in degs)
+
+
+def eval_sh_bases_scaled(basis_dim: int, dirs, kappa):
+    """eval_sh_bases with each band attenuated by Al(l, kappa) -- the vMF
+    convolution of the basis (reference sh.py:159-250, deg <= 4 here)."""
+    base = eval_sh_bases(basis_dim, dirs)
+    scales = []
+    l = 0
+    while len(scales) < basis_dim:
+        n = min(2 * l + 1, basis_dim - len(scales))
+        scales.extend([l] * n)
+        l += 1
+    ls = jnp.asarray(scales, dtype=jnp.float32)
+    att = jnp.exp(-ls * (ls + 1) / 2.0 / (kappa[..., None] + 1e-8))
+    return base * att

@@ -688,3 +688,74 @@ class TestTabularize:
         assert rows["ficus"]["psnr"] == 28.0
         table = render_table(rows, ["psnr", "ssim"])
         assert "lego" in table and "mean" in table
+
+
+class TestNewEncodersAndHeads:
+    def _dirs(self, n=12, seed=0):
+        rng = np.random.default_rng(seed)
+        v = rng.normal(size=(n, 3))
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        return jnp.asarray(v, jnp.float32)
+
+    def test_ish_variants_shapes(self):
+        from nmf_tpu.modules.ish import (ISH, FullISHScaled, RandISH,
+                                         RandRotISH)
+
+        v = self._dirs()
+        r = jnp.full((12,), 0.3)
+        for enc in [FullISHScaled(max_degree=2), ISH(max_degree=3),
+                    RandISH(rand_n=5), RandRotISH(rand_n=2)]:
+            out = np.asarray(enc(v, r))
+            assert out.shape == (12, enc.dim())
+            assert np.isfinite(out).all()
+
+    def test_scaled_sh_attenuates_high_bands(self):
+        from nmf_tpu.ops.sh import eval_sh_bases, eval_sh_bases_scaled
+
+        v = self._dirs()
+        base = np.asarray(eval_sh_bases(9, v))
+        rough = np.asarray(eval_sh_bases_scaled(9, v, jnp.full((12,), 0.5)))
+        sharp = np.asarray(eval_sh_bases_scaled(9, v, jnp.full((12,), 1e6)))
+        np.testing.assert_allclose(sharp, base, rtol=1e-4)
+        # high bands shrink more under low kappa
+        assert (np.abs(rough[:, 4:]) <= np.abs(base[:, 4:]) + 1e-7).all()
+        assert np.abs(rough[:, 4:]).mean() < 0.5 * np.abs(base[:, 4:]).mean()
+
+    def test_diffuse_head_variants_through_builder(self):
+        from nmf_tpu.builders import build_diffuse
+
+        k = jax.random.PRNGKey(0)
+        pts = jnp.zeros((6, 4))
+        vd = jnp.zeros((6, 3))
+        feat = jnp.ones((6, 16))
+        for t in ["HydraMLPDiffuse", "MLPDiffuse", "PassthroughDiffuse"]:
+            head = build_diffuse(
+                k, {"_target_": f"modules.render_modules.{t}"}, 16)
+            d, tint, mp = head(pts, vd, feat)
+            assert d.shape == (6, 3) and tint.shape == (6, 3)
+            for key in ("r1", "r2", "f0", "diffuse"):
+                assert key in mp, (t, key)
+            arr = np.concatenate([np.asarray(d), np.asarray(tint)], -1)
+            assert (arr >= 0).all() and (arr <= 1).all()
+
+    def test_calibrate_hits_target_brightness(self):
+        from nmf_tpu.builders import build_diffuse
+
+        k = jax.random.PRNGKey(1)
+        pts = jnp.zeros((64, 4))
+        vd = jnp.zeros((64, 3))
+        feat = jnp.asarray(np.random.default_rng(0).normal(size=(64, 16)),
+                           jnp.float32)
+        head = build_diffuse(
+            k, {"_target_": "modules.render_modules.MLPDiffuse"}, 16)
+        cal = head.calibrate(0.8, True, pts, vd, feat)
+        d, _, _ = cal(pts, vd, feat)
+        np.testing.assert_allclose(float(d.mean()), 0.5 / 0.8, atol=0.05)
+
+    def test_appdim_normal_unit_norm(self):
+        from nmf_tpu.modules.render_modules import AppDimNormal
+
+        feat = jnp.asarray(np.random.default_rng(2).normal(size=(9, 8)),
+                           jnp.float32)
+        n = np.asarray(AppDimNormal()(jnp.zeros((9, 4)), feat))
+        np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-4)
