@@ -265,6 +265,30 @@ class TestNDC:
         assert z.min() >= 0.0 and z.max() <= 1.1
         assert bool(out["valid"].any())
 
+    def test_ndc_render_with_proposal(self):
+        """NDC path composes with proposal resampling: linear-z samples
+        feed the stop-grad density pass, fine samples stay in [near, far]."""
+        from nmf_tpu.fields.tensorf import init_tensorvm_split
+        from nmf_tpu.models.tensorf import init_tensorf_shade
+        from nmf_tpu.render import NMF, render
+        from nmf_tpu.samplers.alphagrid import AlphaGridSampler
+
+        rf = init_tensorvm_split(jax.random.PRNGKey(0), AABB,
+                                 grid_size=[16] * 3, N_voxel_init=16 ** 3,
+                                 N_voxel_final=16 ** 3, upsamp_list=())
+        s = AlphaGridSampler(alpha_mask=None, aabb=jnp.asarray(AABB),
+                             near_far=(0.0, 1.0)).update(rf, init=True)
+        model = init_tensorf_shade(jax.random.PRNGKey(1), rf.app_dim)
+        nmf = NMF(rf=rf, sampler=s, model=model, max_samples_per_ray=32,
+                  proposal_samples_per_ray=16)
+        rays = jnp.asarray(np.concatenate([
+            np.zeros((8, 3)),
+            np.tile([[0.05, 0.0, 0.95]], (8, 1))], -1), jnp.float32)
+        ims, _ = render(nmf, rays, jax.random.PRNGKey(2), is_train=True,
+                        ndc_ray=True)
+        rgb = np.asarray(ims["rgb_map"])
+        assert rgb.shape == (8, 3) and np.isfinite(rgb).all()
+
 
 class TestVisibility:
     def test_visibility_mlp(self):
