@@ -93,6 +93,26 @@ class TestOccGrid:
         # some cells must be marked unseen (-1)
         assert float(s2.density_grid.min()) == -1.0
 
+    def test_occgrid_in_renderer_with_proposal(self):
+        """OccGridSampler composes with render() and proposal resampling
+        (the renderer is sampler-agnostic over the padded dict contract)."""
+        from nmf_tpu.fields.tensorf import init_tensorvm_split
+        from nmf_tpu.models.tensorf import init_tensorf_shade
+        from nmf_tpu.render import NMF, render
+        from nmf_tpu.samplers.occgrid import init_occgrid
+
+        rf = init_tensorvm_split(jax.random.PRNGKey(0), AABB,
+                                 grid_size=[16] * 3, N_voxel_init=16 ** 3,
+                                 N_voxel_final=16 ** 3, upsamp_list=())
+        s = init_occgrid(rf, grid_reso=16, near_far=(2.0, 6.0))
+        model = init_tensorf_shade(jax.random.PRNGKey(1), rf.app_dim)
+        nmf = NMF(rf=rf, sampler=s, model=model, max_samples_per_ray=32,
+                  proposal_samples_per_ray=16)
+        rays = jnp.asarray([[0.0, 0.0, -4.0, 0.0, 0.0, 1.0]] * 8)
+        ims, _ = render(nmf, rays, jax.random.PRNGKey(2), is_train=True)
+        rgb = np.asarray(ims["rgb_map"])
+        assert rgb.shape == (8, 3) and np.isfinite(rgb).all()
+
 
 class TestBRDFSamplers:
     def _dirs(self, R=256, seed=0):
@@ -783,3 +803,44 @@ class TestNewEncodersAndHeads:
                            jnp.float32)
         n = np.asarray(AppDimNormal()(jnp.zeros((9, 4)), feat))
         np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-4)
+
+
+class TestDualBG:
+    def test_multibg_dispatch(self):
+        from nmf_tpu.modules.bg import init_integral_equirect
+        from nmf_tpu.modules.dual_bg import MultiBG
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        bg1 = init_integral_equirect(k1, bg_resolution=16)
+        bg2 = init_integral_equirect(k2, bg_resolution=16)
+        # make them visibly different
+        bg2 = bg2.replace(bg_mat=bg2.bg_mat + 2.0)
+        mb = MultiBG(bgs=(bg1, bg2))
+        dirs = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])
+        mip = jnp.full((2,), -5.0)
+        a = np.asarray(mb.select(0)(dirs, mip))
+        b = np.asarray(mb.select(1)(dirs, mip))
+        ref0 = np.asarray(bg1(dirs, mip))
+        ref1 = np.asarray(bg2(dirs, mip))
+        np.testing.assert_allclose(a, ref0, rtol=1e-5)
+        np.testing.assert_allclose(b, ref1, rtol=1e-5)
+        assert np.abs(a - b).max() > 0.1
+
+    def test_reconstruction_dual_smoke(self, tmp_path):
+        from nmf_tpu import config as config_lib
+        from nmf_tpu.train_dualbg import reconstruction_dual
+
+        cfg = config_lib.compose([
+            "model=tensorf", "dataset=synthetic_sphere",
+            "dataset2=synthetic_sphere",
+            "model.params.n_iters=6", "model.params.batch_size=256",
+            "dataset.image_size=24", "dataset.n_views=3",
+            "field.N_voxel_init=4096", "field.N_voxel_final=4096",
+            "field.upsamp_list=[]", "model.arch.sampler.update_list=[]",
+            "model.arch.max_samples_per_ray=32",
+            "vis_every=0", "N_vis=1",
+        ])
+        cfg["basedir"] = str(tmp_path)
+        cfg["expname"] = "smoke"
+        out = reconstruction_dual(cfg, log=lambda *a, **k: None)
+        assert out is None or True  # completing without raising is the test
