@@ -282,7 +282,7 @@ def build_nmf(key, arch_cfg: Dict, aabb, near_far, grid_size=None) -> NMF:
                "geonorm_interp_iters", "eval_batch_size", "lr_scale",
                "max_samples_per_ray", "recur_samples_per_ray", "use_pallas",
                "app_samples_per_ray", "proposal_samples_per_ray",
-               "proposal_pad"}
+               "recur_proposal_samples_per_ray", "proposal_pad"}
     top = {k: v for k, v in arch_cfg.items() if k in allowed}
     # NOTE: the pallas composite kernel wins standalone (2.3x on
     # transmittance fwd+bwd) but currently LOSES inside the full train graph

@@ -62,6 +62,12 @@ class NMF:
     # and run the differentiable field + shading on those only (-1 = off).
     # Halving the fine set halves the dominant field scatter/gather rows.
     proposal_samples_per_ray: int = struct.field(pytree_node=False, default=-1)
+    # same for the secondary (retrace) pass; -1 = off. Secondary sample
+    # positions keep their gradient path to the bounce directions -- the
+    # resampled z is differentiable w.r.t. z_vals; only the proposal
+    # DENSITY is stop-gradient.
+    recur_proposal_samples_per_ray: int = struct.field(
+        pytree_node=False, default=-1)
     proposal_pad: float = struct.field(pytree_node=False, default=0.01)
 
     def check_schedule(self, iteration: int, batch_mul: int = 1):
@@ -131,7 +137,8 @@ def render(nmf: NMF, rays, key, focal=1.0, is_train=False, bg_col=(1.0, 1.0, 1.0
     # ---- optional proposal resampling: stop-gradient density over the full
     # budget, then concentrate the differentiable field + shading work on a
     # smaller weight-proportional fine set ----
-    kf = nmf.proposal_samples_per_ray if recur == 0 else -1
+    kf = (nmf.proposal_samples_per_ray if recur == 0
+          else nmf.recur_proposal_samples_per_ray)
     if 0 < kf < K:
         from .ops.resample import resample_pdf
 

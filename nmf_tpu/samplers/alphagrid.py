@@ -145,13 +145,23 @@ class AlphaGridSampler:
 
     # ------------------------------------------------------------------
     def compute_dense_alpha(self, rf, grid_size=None):
-        """Alpha of every cell of a dense grid in one batched field query."""
+        """Alpha of every cell of a dense grid.
+
+        Swept as a lax.map over x-slabs: a single batched query of a 300^3
+        upsampled grid is 27M points whose (M, C) gather intermediates
+        exhaust HBM (observed RESOURCE_EXHAUSTED on v5e); per-slab the
+        working set stays a few MB while the whole sweep remains one jit.
+        """
         gs = grid_size or self.grid_size
         lin = [jnp.linspace(0.0, 1.0, g) for g in gs]
         gx, gy, gz = jnp.meshgrid(*lin, indexing="ij")
         samples = jnp.stack([gx, gy, gz], axis=-1)
         xyz = self.aabb[0] * (1 - samples) + self.aabb[1] * samples  # (X,Y,Z,3)
-        sigma = rf.compute_densityfeature(xyz.reshape(-1, 3)).reshape(gs)
+
+        def slab(pts):
+            return rf.compute_densityfeature(pts.reshape(-1, 3))
+
+        sigma = jax.lax.map(slab, xyz).reshape(gs)
         alpha = 1 - jnp.exp(-sigma * self.stepsize)
         return alpha, xyz
 

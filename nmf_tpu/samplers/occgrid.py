@@ -74,17 +74,19 @@ class OccGridSampler:
         return self, False
 
     def update_density(self, rf):
-        """EMA update over the full grid in one batched query
-        (continuous_alphagrid.py:485-557; the reference's chunked sweep and
-        occupied-cell resampling are unnecessary on TPU -- a 128^3 batch is
-        one gather+contract workload)."""
+        """EMA density update (continuous_alphagrid.py:485-557; the
+        reference's occupied-cell resampling is unnecessary on TPU -- the
+        sweep is one jit, slabbed along x to bound gather intermediates)."""
         G = self.density_grid.shape[0]
         lin = (jnp.arange(G) + 0.5) / G
         gx, gy, gz = jnp.meshgrid(lin, lin, lin, indexing="ij")
         unit = jnp.stack([gx, gy, gz], -1)
         xyz = self.aabb[0] * (1 - unit) + self.aabb[1] * unit
-        sigma = rf.compute_densityfeature(xyz.reshape(-1, 3)).reshape(
-            (G,) * 3)
+        # x-slab sweep: one-shot queries of big grids OOM (alphagrid.py
+        # compute_dense_alpha note)
+        sigma = jax.lax.map(
+            lambda pts: rf.compute_densityfeature(pts.reshape(-1, 3)),
+            xyz).reshape((G,) * 3)
         new_grid = jnp.maximum(self.density_grid * self.ema_decay, sigma)
         return self.replace(density_grid=new_grid)
 
