@@ -64,11 +64,15 @@ def resample_pdf(key, z_vals, dists, weights, valid, n_fine: int,
     # searchsorted plus six take_along_axis row gathers it replaces measured
     # ~26 ms/step. The per-row "one-hot at the transition" matrix feeds an
     # MXU einsum that plays the role of the gathers.
-    def lookup(keys_desc, queries, payload):
-        """For each query q: i = #{k: keys_desc_k <= q} clipped to K-1, and
-        payload rows gathered at i via a transition-one-hot matmul.
+    def lookup(keys_desc, queries, payload, strict=False):
+        """For each query q: i = #{k: keys_desc_k <= q} (or < q when
+        strict) clipped to K-1, and payload rows gathered at i via a
+        transition-one-hot matmul.
         keys_desc: (B, K) ascending; queries: (B, n); payload: (B, K, C)."""
-        ge = (queries[:, :, None] >= keys_desc[:, None, :])
+        if strict:
+            ge = (queries[:, :, None] > keys_desc[:, None, :])
+        else:
+            ge = (queries[:, :, None] >= keys_desc[:, None, :])
         idx = jnp.minimum(ge.sum(-1), K - 1).astype(jnp.int32)
         gef = ge.astype(payload.dtype)
         # one-hot at the 1->0 transition of the monotone ge row; the last
@@ -97,7 +101,10 @@ def resample_pdf(key, z_vals, dists, weights, valid, n_fine: int,
     # segment containing each midpoint: segment i covers (S_prev_i, S_i];
     # searchsorted_left(S, s) == #{S_k < s} == #{s > S_k}
     pay_m = jnp.stack([z_vals, S_prev], axis=-1)          # (B, K, 2)
-    src, vm = lookup(jnp.nextafter(S, jnp.inf), s_mid, pay_m)
+    # strict: segment i covers (S_prev_i, S_i]; searchsorted_left(S, s)
+    # == #{S_k < s} (a nextafter trick would break under differentiation:
+    # the primitive has no JVP rule)
+    src, vm = lookup(S, s_mid, pay_m, strict=True)
     z_f = vm[..., 0] + (s_mid - vm[..., 1])
     valid_f = jnp.broadcast_to(L > eps, (B, n_fine))
     return z_f, dists_f, src, valid_f
