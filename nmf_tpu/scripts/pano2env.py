@@ -74,13 +74,20 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=1000)
     args = p.parse_args(argv)
 
-    import imageio.v2 as imageio
-
     from .. import ckpt
 
-    pano = np.asarray(imageio.imread(args.input), dtype=np.float32)
-    if pano.max() > 16:  # ldr png
-        pano = pano / 255.0
+    if args.input.endswith(".pfm"):
+        # portable HDR input (data/ray_utils.read_pfm); exr needs an
+        # imageio backend absent from this image
+        from ..data.ray_utils import read_pfm
+
+        pano = np.asarray(read_pfm(args.input)[0], dtype=np.float32)
+    else:
+        import imageio.v2 as imageio
+
+        pano = np.asarray(imageio.imread(args.input), dtype=np.float32)
+        if pano.max() > 16:  # ldr png
+            pano = pano / 255.0
     pano = pano[..., :3]
     bg = fit_pano(pano, bg_resolution=args.resolution, iters=args.iters)
     ckpt.save(args.output, bg, {"source": args.input})
