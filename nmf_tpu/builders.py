@@ -209,8 +209,10 @@ def build_model(key, cfg, app_dim):
         k1, k2 = jax.random.split(key)
         m1 = build_model(k1, kw.pop("model1"), app_dim)
         m2 = build_model(k2, kw.pop("model2"), app_dim)
-        return DualModel(model1=m1, model2=m2,
-                         switch_iter=kw.get("switch_iter", 0))
+        # reference key: warmup_iters (dual_model.py); alternating mode is
+        # subsumed by the recursion split (model1 always handles recur>0)
+        switch = kw.get("switch_iter", kw.get("warmup_iters", 0))
+        return DualModel(model1=m1, model2=m2, switch_iter=int(switch))
     if t.endswith("TensoRF") or not t:
         dm_cfg = kw.pop("diffuse_module", None) or {}
         dm_kw = _clean(dm_cfg)
@@ -244,6 +246,33 @@ def build_normal_module(key, cfg, app_dim):
 
 def build_sampler(cfg, aabb, near_far):
     kw = _clean(cfg)
+    t = _target(cfg)
+    # the reference's CUDA-backed samplers (NerfAccSampler, Raymarcher,
+    # ContinuousAlphagrid) all map onto the occupancy-grid sampler here
+    if any(t.endswith(n) for n in
+           ("NerfAccSampler", "Raymarcher", "ContinuousAlphagrid",
+            "OccGridSampler")):
+        from .samplers.occgrid import OccGridSampler
+
+        reso = int(kw.get("grid_reso", kw.get("grid_size", 128)))
+        okw = {}
+        if "update_freq" in kw:
+            okw["update_freq"] = int(kw["update_freq"])
+        if "ema_decay" in kw:
+            okw["ema_decay"] = float(kw["ema_decay"])
+        if "occ_thre" in kw or "density_thresh" in kw:
+            okw["density_thresh"] = float(
+                kw.get("density_thresh", kw.get("occ_thre")))
+        if "max_samples" in kw:
+            okw["max_samples"] = int(kw["max_samples"])
+        if "multiplier" in kw:
+            okw["multiplier"] = int(kw["multiplier"])
+        if "shrink_iters" in kw:
+            okw["shrink_iters"] = tuple(kw["shrink_iters"])
+        return OccGridSampler(
+            density_grid=jnp.zeros((reso,) * 3, jnp.float32),
+            aabb=jnp.asarray(aabb), grid_reso=reso,
+            near_far=tuple(near_far), **okw)
     allowed = {"enable_alpha_mask", "update_list", "max_samples",
                "multiplier", "alphaMask_thres", "superstep",
                "fine_alpha_test"}
