@@ -160,6 +160,46 @@ def build_field(key, cfg, aabb, grid_size=None):
     raise ValueError(f"unknown field target {t}")
 
 
+def build_visibility(key, cfg, app_dim):
+    """visibility_module config key (reference microfacet.py:34;
+    VisibilityMLP render_modules.py:117-198)."""
+    if not cfg:
+        return None
+    t = _target(cfg)
+    if t.endswith("VisibilityMLP") or t.endswith("NaiveVisCache") or not t:
+        from .modules.visibility import init_visibility_mlp
+
+        allowed = {"feape", "featureC", "num_layers", "lr"}
+        kw = {k: v for k, v in _clean(cfg).items() if k in allowed}
+        return init_visibility_mlp(key, app_dim, **kw)
+    raise ValueError(f"unknown visibility module {t}")
+
+
+def build_bright_sampler(cfg):
+    """bright_sampler config key (reference microfacet.py:36;
+    ERBrightSampler equirect_bright_sampler.py:51-99)."""
+    if not cfg:
+        return None
+    t = _target(cfg)
+    if t.endswith("ERBrightSampler") or not t:
+        from .modules.visibility import ERBrightSampler
+
+        return ERBrightSampler()
+    if t.endswith("CubeBrightSampler") or t.endswith(
+            "BrightnessImportanceSampler"):
+        import jax.numpy as jnp
+
+        from .modules.visibility import CubeBrightSampler
+
+        kw = _clean(cfg)
+        S = int(kw.get("n_spots", 16))
+        return CubeBrightSampler(
+            spots=jnp.zeros((S, 3)),
+            scale=int(kw.get("scale", 1)),
+            update_freq=int(kw.get("update_freq", 1000)))
+    raise ValueError(f"unknown bright sampler {t}")
+
+
 def build_model(key, cfg, app_dim):
     t = _target(cfg)
     kw = _clean(cfg)
@@ -168,8 +208,10 @@ def build_model(key, cfg, app_dim):
         dm_cfg = kw.pop("diffuse_module", None) or {}
         brdf_cfg = kw.pop("brdf", None) or {}
         sampler_cfg = kw.pop("brdf_sampler", None) or {}
-        kw.pop("visibility_module", None)
-        kw.pop("bright_sampler", None)
+        vis_cfg = kw.pop("visibility_module", None)
+        bright_cfg = kw.pop("bright_sampler", None)
+        vis = build_visibility(jax.random.fold_in(key, 7), vis_cfg, app_dim)
+        bright = build_bright_sampler(bright_cfg)
         dm = build_diffuse(k1, dm_cfg, app_dim)
         brdf_kw = _clean(brdf_cfg)
         brdf_kw["h_encoder"] = build_encoder(brdf_kw.pop("h_encoder", None))
@@ -191,7 +233,8 @@ def build_model(key, cfg, app_dim):
         if "brdf_ray_budget" in kw:
             kw["brdf_ray_budget"] = tuple(kw["brdf_ray_budget"])
         return init_microfacet(key, app_dim, diffuse_module=dm, brdf=brdf,
-                               brdf_sampler=bs, **kw)
+                               brdf_sampler=bs, visibility_module=vis,
+                               bright_sampler=bright, **kw)
     if t.endswith("RefNeRF"):
         from .models.refnerf import init_refnerf
 

@@ -39,7 +39,13 @@ def _set_dotted(cfg: Dict, dotted: str, value: Any):
     keys = dotted.split(".")
     d = cfg
     for k in keys[:-1]:
-        d = d.setdefault(k, {})
+        nxt = d.get(k)
+        if not isinstance(nxt, dict):
+            # replace missing OR explicit-null intermediates (yaml
+            # `visibility_module: null`) so overrides can graft subtrees
+            nxt = {}
+            d[k] = nxt
+        d = nxt
     d[keys[-1]] = value
 
 

@@ -123,6 +123,56 @@ def load_blender(datadir, split="train", downsample=1.0, white_bg=True,
     }
 
 
+def load_own_data(datadir, split="train", downsample=1.0, white_bg=True):
+    """Self-captured transforms (reference dataLoader/your_own_data.py:13-
+    104): explicit w/h/camera_angle_x/camera_angle_y/cx/cy metadata,
+    principal-point-centered normalized directions, near_far [0.1, 100]."""
+    datadir = Path(datadir)
+    with open(datadir / f"transforms_{split}.json") as f:
+        meta = json.load(f)
+    ext = meta.get("ext", ".png")
+    w = int(meta["w"] / downsample)
+    h = int(meta["h"] / downsample)
+    fx = 0.5 * w / np.tan(0.5 * meta["camera_angle_x"])
+    fy = (0.5 * h / np.tan(0.5 * meta["camera_angle_y"])
+          if "camera_angle_y" in meta else fx)
+    cx = meta.get("cx", w / 2) / downsample
+    cy = meta.get("cy", h / 2) / downsample
+
+    directions = get_ray_directions(h, w, [fx, fy], center=[cx, cy])
+    directions = directions / np.linalg.norm(directions, axis=-1,
+                                             keepdims=True)
+    all_rays, all_rgbs, poses = [], [], []
+    for frame in meta["frames"]:
+        pose = np.array(frame["transform_matrix"],
+                        dtype=np.float32) @ BLENDER2OPENCV
+        poses.append(pose)
+        fp = frame["file_path"]
+        img_path = datadir / (fp + ext if not fp.endswith(ext) else fp)
+        img = _imread(img_path)
+        img = _resize(img, (w, h))
+        if img.ndim == 2:
+            img = np.stack([img] * 3, -1)
+        img = img.reshape(-1, img.shape[-1])
+        if img.shape[-1] == 4:
+            img = img[:, :3] * img[:, -1:] + (1 - img[:, -1:])
+        all_rgbs.append(img)
+        rays_o, rays_d = get_rays(directions, pose)
+        all_rays.append(np.concatenate([rays_o, rays_d], -1))
+
+    return {
+        "all_rays": np.concatenate(all_rays, 0).astype(np.float32),
+        "all_rgbs": np.concatenate(all_rgbs, 0).astype(np.float32),
+        "poses": np.stack(poses),
+        "img_wh": (w, h),
+        "focal": fx,
+        "near_far": (0.1, 100.0),
+        "scene_bbox": np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]],
+                               np.float32),
+        "white_bg": True,
+    }
+
+
 def load_dataset(cfg_dataset, datadir, split="train", n_vis=-1):
     """Dispatch on dataset_name (reference dataLoader/__init__.py registry)."""
     name = cfg_dataset["dataset_name"]
@@ -154,11 +204,11 @@ def load_dataset(cfg_dataset, datadir, split="train", n_vis=-1):
             downsample=cfg_dataset.get("downsample_train", 1.0),
             white_bg=cfg_dataset.get("white_bg", True))
     elif name == "own_data":
-        # torch-ngp style transforms.json with a single file covering splits
-        ds = load_blender(os.path.join(datadir, cfg_dataset["scenedir"]),
-                          split=split,
-                          downsample=cfg_dataset.get("downsample_train", 1.0),
-                          white_bg=cfg_dataset.get("white_bg", True))
+        ds = load_own_data(os.path.join(datadir, cfg_dataset["scenedir"]),
+                           split=split,
+                           downsample=cfg_dataset.get("downsample_train",
+                                                      1.0),
+                           white_bg=cfg_dataset.get("white_bg", True))
     elif name == "synthetic_sphere":
         from .synthetic import make_sphere_dataset
 

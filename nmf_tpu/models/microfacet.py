@@ -41,6 +41,16 @@ class Microfacet:
     diffuse_module: RandHydraMLPDiffuse
     brdf: MLPBRDF
     brdf_sampler: GGXSampler
+    # optional learned visibility cache: damps retrace priority of rays
+    # whose background visibility the MLP already predicts (reference
+    # microfacet.py:497-505); trained on retraced rays' observed bg
+    # visibility (render_modules.py:169-176)
+    visibility_module: Optional[Any] = None
+    # optional envmap-brightness importance sampler: the last
+    # percent_bright fraction of each sample's bounce rays are drawn
+    # toward bright texels instead of the GGX lobe (reference
+    # pt_selectors.py:52-54 commented bright_mask + ERBrightSampler)
+    bright_sampler: Optional[Any] = None
     # decaying schedule scalars (leaves; frozen in the optimizer)
     min_rough: Any = 0.0
     std: Any = 0.0
@@ -111,7 +121,7 @@ class Microfacet:
         """Flattened sample inputs of length M = B*K. Returns (rgb (M,3),
         debug dict)."""
         M = xyz.shape[0]
-        keys = jax.random.split(key, 5)
+        keys = jax.random.split(key, 6)
 
         noise_app_features = app_features + jax.random.normal(
             keys[0], app_features.shape) * self.anoise
@@ -208,10 +218,38 @@ class Microfacet:
                                  bcounts.astype(jnp.int32), src)
         L, basis, logD = self.brdf_sampler.sample(u1, u2, bV, bN, r1, r1)
 
+        # --- optional bright-ray substitution: the LAST percent_bright
+        # fraction of each sample's rays point at bright envmap texels
+        # (the commented bright_mask split of pt_selectors.py:52-54 made
+        # live). Estimator stays unbiased via the pdf ratio below. ---
+        use_bright = (self.bright_sampler is not None
+                      and self.percent_bright > 0 and bg_module is not None
+                      and recur == 0)
+        if use_bright:
+            bdirs, bpdf = self.bright_sampler.sample(
+                keys[5], bg_module, L.shape[0], cache=bg_cache)
+            main = jnp.ceil(bcounts * (1.0 - self.percent_bright))
+            bright_mask = ((within >= main.astype(jnp.int32))
+                           & ((bdirs * bN).sum(-1) > 0) & slot_valid)
+            L = jnp.where(bright_mask[:, None], bdirs, L)
+
         H = normalize((bV + L) / 2)
         local_v = jnp.einsum("rij,rj->ri", basis, bV)
         halfvec = jnp.einsum("rij,rj->ri", basis, H)
         diffvec = jnp.einsum("rij,rj->ri", basis, L)
+
+        bright_w = None
+        if use_bright:
+            # the VNDF estimator folds brdf/pdf_ggx into brdf_weight; a ray
+            # drawn from pdf_bright instead needs x pdf_ggx/pdf_bright
+            ggx_p = self.brdf_sampler.compute_prob(
+                diffvec, local_v, halfvec, r1, r1)
+            ratio = jnp.clip(ggx_p / jnp.clip(bpdf, EPS), 0.0, 1e3)
+            bright_w = jnp.where(bright_mask, ratio, 1.0)[:, None]
+            bright_w = jax.lax.stop_gradient(bright_w)
+            # footprint mip follows the actual sampling pdf
+            logD = jnp.where(bright_mask,
+                             jnp.log(jnp.clip(bpdf, EPS)), logD)
         samp_prob = jnp.exp(logD)
 
         mipval = -jnp.log(jnp.clip(bcounts, 1)) - logD
@@ -221,11 +259,14 @@ class Microfacet:
         brdf_weight = self.brdf(
             bV, sg(L), sg(bN), sg(H), sg(local_v), sg(halfvec), sg(diffvec),
             efeatures, sg(r1), sg(r1))  # (R, 3)
+        if bright_w is not None:
+            brdf_weight = brdf_weight * bright_w
 
         # --- incoming light: envmap for all, retrace the top-T contributors
         #     (microfacet.py:475-563) ---
         incoming_light, _ = render_reflection(bounce_rays, mipval,
                                               retrace=False, rkey=keys[4])
+        vis_loss = None
         if recur < len(self.max_retrace_rays) and bg_module is not None:
             T = self.max_retrace_rays[recur]
             per_sample_factor = bw / brc
@@ -234,6 +275,13 @@ class Microfacet:
                 * ((bV * bN).sum(-1) > 0)
                 * samp_prob)
             contribution = sg(per_ray_factor * per_sample_factor)
+            if self.visibility_module is not None:
+                # damp retrace priority by predicted visibility
+                # (microfacet.py:497-505; the MLP reads (dir, features) --
+                # its pts argument is unused there too)
+                _, sigvis = self.visibility_module(
+                    sg(exyz), sg(L), sg(efeatures))
+                contribution = contribution * sg(1.0 - sigvis)
             contribution = jnp.where(slot_valid, contribution, -1.0)
             contribution = contribution / jnp.clip(contribution.sum(), EPS) * T
             contribution = contribution + jax.random.uniform(
@@ -242,9 +290,20 @@ class Microfacet:
             top_idx = jax.lax.top_k(contribution, T)[1]
             retrace_rays = bounce_rays[top_idx]
             retrace_mip = mipval[top_idx]
-            retraced, _ = render_reflection(retrace_rays, retrace_mip,
-                                            retrace=True, rkey=keys[4])
+            retraced, bg_vis = render_reflection(retrace_rays, retrace_mip,
+                                                 retrace=True, rkey=keys[4])
             incoming_light = incoming_light.at[top_idx].set(retraced)
+            if self.visibility_module is not None and bg_vis is not None:
+                # fit sigvis to 1 - observed bg visibility of the retraced
+                # rays (render_modules.py:169-176); inputs detached so the
+                # gradient only trains the visibility MLP
+                _, sv = self.visibility_module(
+                    sg(exyz[top_idx]), sg(L[top_idx]),
+                    sg(efeatures[top_idx]))
+                tv = slot_valid[top_idx]
+                vis_loss = (jnp.where(
+                    tv, (sv - (1.0 - sg(bg_vis))) ** 2, 0.0).sum()
+                    / jnp.clip(tv.sum(), 1))
             if self.russian_roulette:
                 # a sample that owns retraced rays is represented ONLY by
                 # them: its envmap-only rays are dropped and its ray_count
@@ -310,6 +369,9 @@ class Microfacet:
         debug["roughness"] = matprop["r1"]
         debug["spec"] = spec
         debug["albedo"] = albedo
+        if vis_loss is not None:
+            # scalar; popped into stats by render() (not a per-sample map)
+            debug["__visibility_loss"] = vis_loss
         return rgb, debug
 
 

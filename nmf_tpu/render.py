@@ -76,6 +76,15 @@ class NMF:
         new_sampler, s_changed = self.sampler.check_schedule(
             iteration, batch_mul, self.rf)
         new_rf, r_changed = self.rf.check_schedule(iteration, batch_mul)
+        # occupancy-grid shrink: bound the field to occupied cells and
+        # re-fit the factor grids (reference continuous_alphagrid.py:435-437
+        # get_bounds -> rf.shrink; fires optimizer reinit via changed=True)
+        shrink_iters = getattr(new_sampler, "shrink_iters", ())
+        if (shrink_iters and hasattr(new_sampler, "get_bounds")
+                and hasattr(new_rf, "shrink")
+                and iteration in [i * batch_mul for i in shrink_iters]):
+            new_rf = new_rf.shrink(new_sampler.get_bounds())
+            r_changed = True
         changed = m_changed or s_changed or r_changed
         new = self.replace(model=new_model, sampler=new_sampler, rf=new_rf)
         if changed:
@@ -256,6 +265,7 @@ def render(nmf: NMF, rays, key, focal=1.0, is_train=False, bg_col=(1.0, 1.0, 1.0
         bg_module=nmf.bg_module, bg_cache=bg_cache, is_train=is_train,
         recur=recur, key=keys[1])
     rgb = rgb.reshape(B, K, 3)
+    vis_loss = debug.pop("__visibility_loss", None)
 
     eweight = weight[..., None]
     rgb_map = row_mask_sum(eweight * rgb, valid)
@@ -323,6 +333,8 @@ def render(nmf: NMF, rays, key, focal=1.0, is_train=False, bg_col=(1.0, 1.0, 1.0
         from .ops.losses import distortion_loss
 
         stats["distortion_loss"] = distortion_loss(z_vals, weight, dists)
+        stats["visibility_loss"] = (vis_loss if vis_loss is not None
+                                    else jnp.zeros(()))
         stats["n_valid_samples"] = valid.sum()
 
     # ---- debug maps (eval only) ----

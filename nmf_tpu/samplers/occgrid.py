@@ -94,6 +94,22 @@ class OccGridSampler:
         thresh = jnp.minimum(self.density_grid.mean(), self.density_thresh)
         return self.density_grid > thresh
 
+    def get_bounds(self):
+        """AABB of occupied cells, padded by one cell (reference
+        ContinuousAlphagrid.get_bounds, continuous_alphagrid.py:457-473;
+        the randomize-within-cell there is a one-cell margin here).
+        Host-side numpy: runs only at shrink_iters schedule events."""
+        G = self.density_grid.shape[0]
+        occ = np.asarray(self.occupancy())
+        aabb = np.asarray(self.aabb)
+        if not occ.any():
+            return aabb
+        idx = np.stack(np.nonzero(occ), -1)  # (M, 3) cell coords
+        cell = (aabb[1] - aabb[0]) / G
+        lo = aabb[0] + (idx.min(0)) * cell - 0.5 * cell
+        hi = aabb[0] + (idx.max(0) + 1) * cell + 0.5 * cell
+        return np.stack([np.maximum(lo, aabb[0]), np.minimum(hi, aabb[1])])
+
     def occupied_at(self, xyz):
         """Nearest-cell occupancy lookup for world points (..., 3)."""
         G = self.density_grid.shape[0]
@@ -103,9 +119,51 @@ class OccGridSampler:
         return occ[idx[..., 0], idx[..., 1], idx[..., 2]]
 
     # ------------------------------------------------------------------
+    def sample_ndc(self, rays, key=None, is_train=False, n_samples: int = -1,
+                   max_samples_per_ray: int = -1, focal: float = 1.0):
+        """NDC sampling: linear z steps in [near, far] with occupancy cull
+        (reference ContinuousAlphagrid.sample_ray_ndc,
+        continuous_alphagrid.py:138-155; that path only bbox-masks, the
+        occupancy test here is a strict superset cull)."""
+        N = n_samples if n_samples > 0 else self.n_samples
+        near, far = self.near_far
+        rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+        B = rays.shape[0]
+        z_vals = jnp.linspace(near, far, N)[None].repeat(B, 0)
+        if is_train and key is not None:
+            z_vals = z_vals + jax.random.uniform(key, (B, N)) * (
+                (far - near) / N)
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+        in_bbox = jnp.all((pts >= self.aabb[0]) & (pts <= self.aabb[1]),
+                          axis=-1)
+        valid = in_bbox & self.occupied_at(pts)
+        norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        dists = jnp.concatenate(
+            [z_vals[:, 1:] - z_vals[:, :-1], jnp.zeros((B, 1))], -1) * norm
+        size = z_vals[..., None] / focal
+        xyz = jnp.concatenate([pts, size], axis=-1)
+        K = max_samples_per_ray
+        if K > 0 and K < N:
+            packed = jnp.concatenate(
+                [xyz, z_vals[..., None], dists[..., None],
+                 valid[..., None].astype(jnp.float32)], axis=-1)
+            idx, keep = compact_topk(valid, K)
+            packed = gather_rows(packed, idx)
+            xyz = packed[..., 0:4]
+            z_vals = packed[..., 4]
+            dists = packed[..., 5]
+            valid = (packed[..., 6] > 0.5) & keep
+        return {"xyz": xyz, "z_vals": z_vals, "dists": dists, "valid": valid}
+
     def sample(self, rays, key=None, is_train=False, override_near=None,
                stepmul: float = 1.0, n_samples: int = -1,
-               max_samples_per_ray: int = -1, focal: float = 1.0):
+               max_samples_per_ray: int = -1, focal: float = 1.0,
+               ndc_ray: bool = False):
+        if ndc_ray:
+            return self.sample_ndc(rays, key=key, is_train=is_train,
+                                   n_samples=n_samples,
+                                   max_samples_per_ray=max_samples_per_ray,
+                                   focal=focal)
         N = int((n_samples if n_samples > 0 else self.n_samples) * stepmul)
         near, far = self.near_far
         if override_near is not None:

@@ -75,8 +75,12 @@ def reconstruction(cfg, log=print):
 
     key = jax.random.PRNGKey(cfg.get("seed", 20211200))
     key, bkey = jax.random.split(key)
-    nmf = build_nmf(bkey, cfg["model"]["arch"], train_ds["scene_bbox"],
-                    train_ds["near_far"])
+    # dataset yaml near_far overrides the loader's, and aabb_scale scales
+    # the scene bbox (reference train.py:219-237)
+    near_far = tuple(cfg["dataset"].get("near_far", train_ds["near_far"]))
+    aabb = (np.asarray(train_ds["scene_bbox"], np.float32)
+            * float(cfg["dataset"].get("aabb_scale", 1)))
+    nmf = build_nmf(bkey, cfg["model"]["arch"], aabb, near_far)
 
     if cfg.get("ckpt"):
         nmf, _, _ = ckpt_lib.load(cfg["ckpt"])

@@ -65,6 +65,8 @@ def label_for_path(s: str) -> str:
         return "frozen"
     if s.startswith("model/brdf"):
         return "brdf"
+    if s.startswith("model/visibility_module"):
+        return "visibility"
     if s.startswith("model/"):
         # dynamic schedule scalars (min_rough, std, ...) stay frozen
         return "frozen"
@@ -129,6 +131,9 @@ def group_hyperparams(nmf: NMF, cfg: OptimConfig):
     nm = nmf.normal_module
     groups["normal"] = ((nm.lr if nm is not None else 1e-3) * lr_scale,
                         cfg.betas)
+    vm = getattr(nmf.model, "visibility_module", None)
+    groups["visibility"] = ((vm.lr if vm is not None else 1e-3) * lr_scale,
+                            cfg.betas)
     bg = nmf.bg_module
     if bg is not None:
         groups["bg"] = (bg.lr * lr_scale, tuple(bg.betas))
@@ -201,6 +206,8 @@ class LossWeights(NamedTuple):
     tv_weight_density: Any = 0.0
     tv_weight_app: Any = 0.0
     tv_weight_bg: Any = 0.0
+    # self-contained (detached inputs): only trains the visibility MLP
+    visibility_lambda: Any = 1.0
     charbonier_eps: float = 1e-3
 
 
@@ -229,7 +236,9 @@ def compute_loss(nmf: NMF, rays, rgb_gt, key, weights: LossWeights,
              + weights.diffuse_lambda * stats["diffuse_reg"]
              + weights.brdf_lambda * stats["brdf_reg"]
              + weights.pred_lambda * stats["prediction_loss"]
-             + weights.normal_err_lambda * stats["normal_err"])
+             + weights.normal_err_lambda * stats["normal_err"]
+             + weights.visibility_lambda * B * stats.get(
+                 "visibility_loss", jnp.zeros(())))
     # weights may be traced scalars (they decay per-iteration), so every term
     # is computed unconditionally; zero weights are fused away only when the
     # caller passes python floats

@@ -304,3 +304,115 @@ class TestConfigSurface:
             nmf = build_nmf(jax.random.PRNGKey(0), cfg["model"]["arch"],
                             aabb, (2.0, 6.0))
             assert nmf.model is not None and nmf.rf is not None, (m, f)
+
+
+class TestDeadKnobs:
+    """The three config knobs VERDICT r1 flagged as accepted-but-ignored,
+    each driven through the CLI config surface."""
+
+    def _occgrid_cfg(self, extra=()):
+        return config_lib.compose([
+            "model=tensorf", "dataset=synthetic_sphere",
+            "model.arch.sampler._target_=samplers.nerf_acc.NerfAccSampler",
+            "model.arch.sampler.grid_size=24",
+            "model.arch.max_samples_per_ray=24",
+            "field.N_voxel_init=4096", "field.N_voxel_final=4096",
+            "field.upsamp_list=[]", *extra])
+
+    def test_occgrid_shrink_fires_and_step_survives(self):
+        from nmf_tpu.builders import build_nmf
+
+        cfg = self._occgrid_cfg(["model.arch.sampler.shrink_iters=[1]"])
+        aabb = np.array([[-1.5] * 3, [1.5] * 3], np.float32)
+        key = jax.random.PRNGKey(0)
+        nmf = build_nmf(key, cfg["model"]["arch"], aabb, (2.0, 6.0))
+        assert nmf.sampler.shrink_iters == (1,)
+
+        # concentrate occupancy in one octant so the bounds actually move
+        G = nmf.sampler.density_grid.shape[0]
+        blob = np.zeros((G,) * 3, np.float32)
+        blob[: G // 2, : G // 2, : G // 2] = 10.0
+        nmf = nmf.replace(sampler=nmf.sampler.replace(
+            density_grid=jnp.asarray(blob)))
+
+        old_aabb = np.asarray(nmf.rf.aabb).copy()
+        old_grid = tuple(nmf.rf.grid_size)
+        new_nmf, changed = nmf.check_schedule(1, 1)
+        assert changed, "shrink_iters tick must request optimizer reinit"
+        assert not np.allclose(np.asarray(new_nmf.rf.aabb), old_aabb), \
+            "field aabb should shrink toward the occupied octant"
+        assert tuple(new_nmf.rf.grid_size) <= old_grid
+
+        # the step still compiles and runs after the shape change
+        cfg_o = trainer.OptimConfig(n_iters=4)
+        tx = trainer.make_optimizer(new_nmf, cfg_o)
+        opt_state = tx.init(new_nmf)
+        step = trainer.make_train_step(tx, donate=False)
+        ds = make_sphere_dataset(n_views=2, H=16, W=16)
+        _, _, metrics = step(
+            new_nmf, opt_state, jnp.asarray(ds["all_rays"][:64]),
+            jnp.asarray(ds["all_rgbs"][:64]), jnp.ones(3),
+            jax.random.PRNGKey(1), trainer.LossWeights())
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_occgrid_ndc_renders(self):
+        """ndc_ray=True through the occupancy sampler (previously a
+        TypeError: sample() got 'ndc_ray')."""
+        from nmf_tpu.builders import build_nmf
+
+        cfg = self._occgrid_cfg()
+        aabb = np.array([[-1.5] * 3, [1.5] * 3], np.float32)
+        nmf = build_nmf(jax.random.PRNGKey(0), cfg["model"]["arch"], aabb,
+                        (0.0, 1.0))
+        rng = np.random.default_rng(0)
+        o = np.zeros((32, 3), np.float32)
+        d = rng.normal(size=(32, 3)).astype(np.float32)
+        d[:, 2] = np.abs(d[:, 2]) + 1.0
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        rays = jnp.asarray(np.concatenate([o, d], -1))
+        ims, _ = render(nmf, rays, jax.random.PRNGKey(1), is_train=False,
+                        ndc_ray=True)
+        assert np.all(np.isfinite(np.asarray(ims["rgb_map"])))
+
+    def test_visibility_and_bright_sampler_train(self):
+        from nmf_tpu.builders import build_nmf
+
+        cfg = config_lib.compose([
+            "model=microfacet_tensorf2", "dataset=synthetic_sphere",
+            "field.N_voxel_init=4096", "field.N_voxel_final=4096",
+            "field.upsamp_list=[]",
+            "model.arch.max_samples_per_ray=16",
+            "model.arch.recur_samples_per_ray=8",
+            "model.arch.model.brdf_ray_budget=[256,64]",
+            "model.arch.model.max_retrace_rays=[32]",
+            "model.arch.model.percent_bright=0.5",
+            "model.arch.model.visibility_module._target_="
+            "modules.render_modules.VisibilityMLP",
+            "model.arch.model.visibility_module.featureC=16",
+            "model.arch.model.visibility_module.num_layers=2",
+            "model.arch.model.bright_sampler._target_="
+            "brdf_samplers.equirect_bright_sampler.ERBrightSampler",
+            "model.arch.bg_module.bg_resolution=16",
+        ])
+        aabb = np.array([[-1.5] * 3, [1.5] * 3], np.float32)
+        nmf = build_nmf(jax.random.PRNGKey(0), cfg["model"]["arch"], aabb,
+                        (2.0, 6.0))
+        assert nmf.model.visibility_module is not None
+        assert nmf.model.bright_sampler is not None
+
+        ds = make_sphere_dataset(n_views=2, H=16, W=16)
+        cfg_o = trainer.OptimConfig(n_iters=4)
+        tx = trainer.make_optimizer(nmf, cfg_o)
+        opt_state = tx.init(nmf)
+        step = trainer.make_train_step(tx, donate=False)
+        old_vis = np.asarray(
+            nmf.model.visibility_module.mlp.layers[0]["w"]).copy()
+        new_nmf, _, metrics = step(
+            nmf, opt_state, jnp.asarray(ds["all_rays"][:64]),
+            jnp.asarray(ds["all_rgbs"][:64]), jnp.ones(3),
+            jax.random.PRNGKey(1), trainer.LossWeights())
+        assert np.isfinite(float(metrics["loss"]))
+        new_vis = np.asarray(
+            new_nmf.model.visibility_module.mlp.layers[0]["w"])
+        assert not np.allclose(old_vis, new_vis), \
+            "visibility MLP must receive gradient from its bg-vis loss"
