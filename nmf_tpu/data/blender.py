@@ -16,6 +16,12 @@ from .ray_utils import get_ray_directions, get_rays
 
 
 def _imread(path):
+    if str(path).lower().endswith(".exr"):
+        # HDR frames (reference blender.py exr branch) via the in-repo
+        # OpenEXR reader
+        from .exr import read_exr
+
+        return read_exr(path)
     import imageio.v2 as imageio
 
     img = imageio.imread(path)

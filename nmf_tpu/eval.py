@@ -123,6 +123,38 @@ def _maybe_lpips():
         return None
 
 
+def write_video(path, frames, fps=30):
+    """Assemble uint8/float frames into mp4 (cv2 VideoWriter; the ffmpeg
+    binary is absent) with a gif fallback. Reference: imageio.mimwrite video
+    dumps, renderer.py:444-534."""
+    frames = [np.asarray(f) for f in frames]
+    if not frames:
+        return None
+    u8 = [(np.clip(f, 0, 1) * 255).astype(np.uint8)
+          if f.dtype != np.uint8 else f for f in frames]
+    u8 = [np.stack([f] * 3, -1) if f.ndim == 2 else f[..., :3] for f in u8]
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    try:
+        import cv2
+
+        h, w = u8[0].shape[:2]
+        vw = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (w, h))
+        if not vw.isOpened():
+            raise RuntimeError("VideoWriter failed to open")
+        for f in u8:
+            vw.write(f[..., ::-1])  # RGB -> BGR
+        vw.release()
+        return path
+    except Exception:
+        import imageio.v2 as imageio
+
+        path = path.with_suffix(".gif")
+        imageio.mimwrite(path, u8, duration=1.0 / fps)
+        return path
+
+
 def _save_map(save_dir, sub, idx, img, prefix=""):
     import imageio.v2 as imageio
 
@@ -157,6 +189,7 @@ def evaluate(nmf: NMF, dataset, key, save_dir: Optional[str] = None,
         lambda nmf, r, k, c: render(nmf, r, k, is_train=False,
                                     bg_col=(1.0, 1.0, 1.0), draw_debug=True,
                                     bg_cache=c)[0])
+    vid = {"rgb": [], "depth": [], "normal": []}
     for img_i in idxs:
         rays = dataset["all_rays"][img_i * n_px:(img_i + 1) * n_px]
         gt = dataset["all_rgbs"][img_i * n_px:(img_i + 1) * n_px]
@@ -211,6 +244,19 @@ def evaluate(nmf: NMF, dataset, key, save_dir: Optional[str] = None,
         if save_dir is not None:
             _save_map(save_dir, "", img_i, pred, prefix)
             if save_all_maps:
+                vid["rgb"].append(pred)
+                if "depth" in maps:
+                    vid["depth"].append(visualize_depth(
+                        maps["depth"], dataset.get("near_far")))
+                if "world_normal" in maps:
+                    vid["normal"].append((maps["world_normal"] + 1) / 2)
+                if getattr(nmf, "hdr", False):
+                    # HDR runs dump the un-tonemapped radiance as EXR
+                    # (reference exr layer writes, renderer.py:427-441)
+                    from .data.exr import write_exr
+
+                    write_exr(Path(save_dir) / f"{prefix}{img_i:03d}.exr",
+                              maps["rgb_map"])
                 err = ((pred - gt) ** 2).mean(-1)
                 _save_map(save_dir, "err", img_i,
                           np.clip(err * 20, 0, 1), prefix)
@@ -255,6 +301,16 @@ def evaluate(nmf: NMF, dataset, key, save_dir: Optional[str] = None,
             f.write(str(summary))
         if nmf.bg_module is not None and save_all_maps:
             save_envmap(nmf.bg_module, Path(save_dir) / f"{prefix}pano.png")
+            save_envmap(nmf.bg_module, Path(save_dir) / f"{prefix}pano.exr")
+        if save_all_maps and len(vid["rgb"]) > 1:
+            # test-sweep videos (reference renderer.py:444-534)
+            write_video(Path(save_dir) / f"{prefix}video.mp4", vid["rgb"])
+            if vid["depth"]:
+                write_video(Path(save_dir) / f"{prefix}depthvideo.mp4",
+                            vid["depth"])
+            if vid["normal"]:
+                write_video(Path(save_dir) / f"{prefix}normalvideo.mp4",
+                            vid["normal"])
         if LOGGER.enable and LOGGER.entries:
             LOGGER.save(str(Path(save_dir) / "rays.pkl"))
             LOGGER.save_html(str(Path(save_dir) / "rays.html"))
@@ -262,8 +318,8 @@ def evaluate(nmf: NMF, dataset, key, save_dir: Optional[str] = None,
 
 
 def save_envmap(bg_module, path, tonemap=None):
-    """Dump the activated envmap (integral_equirect.py:362-371; png instead
-    of exr when no HDR writer is available)."""
+    """Dump the activated envmap (integral_equirect.py:362-371); .exr goes
+    through the in-repo OpenEXR writer (data/exr.py)."""
     import imageio.v2 as imageio
 
     im = np.asarray(bg_module.activation_fn(bg_module.bg_mat))
@@ -272,11 +328,10 @@ def save_envmap(bg_module, path, tonemap=None):
         im = tonemap(im)
     path = Path(path)
     if path.suffix == ".exr":
-        try:
-            imageio.imwrite(path, im.astype(np.float32))
-            return
-        except Exception:
-            path = path.with_suffix(".png")
+        from .data.exr import write_exr
+
+        write_exr(path, im.astype(np.float32))
+        return
     imageio.imwrite(path, (np.clip(im, 0, 1) * 255).astype(np.uint8))
 
 
@@ -284,7 +339,7 @@ def render_path(nmf: NMF, hw, focal, key, n_frames=60, radius=4.0,
                 phi_deg=-30.0, save_dir=None, chunk=4096,
                 bg_col=(1.0, 1.0, 1.0)):
     """Orbit-path rendering (reference evaluation_path, renderer.py:537-582);
-    writes per-frame pngs (video assembly needs ffmpeg, absent here)."""
+    writes per-frame pngs plus an assembled path.mp4."""
     from .data.ray_utils import (get_ray_directions_blender, get_rays,
                                  pose_spherical)
 
@@ -309,4 +364,6 @@ def render_path(nmf: NMF, hw, focal, key, n_frames=60, radius=4.0,
         frames.append(frame)
         if save_dir is not None:
             _save_map(save_dir, "path", i, frame)
+    if save_dir is not None and len(frames) > 1:
+        write_video(Path(save_dir) / "path.mp4", frames)
     return frames

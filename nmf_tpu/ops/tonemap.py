@@ -39,6 +39,8 @@ def linear_inverse(img):
 
 TONEMAPS = {
     "srgb": (srgb_tonemap, srgb_inverse),
+    # the reference's Filmic (modules/tonemap.py:11-32) is line-for-line
+    # identical to its SRGBTonemap (:34-55), so the alias IS exact parity
     "filmic": (srgb_tonemap, srgb_inverse),
     "hdr": (hdr_tonemap, hdr_inverse),
     "linear": (linear_tonemap, linear_inverse),

@@ -126,13 +126,24 @@ def reconstruction(cfg, log=print):
     bg_mode = params.get("bg_col", "white")
     has_norms = train_ds.get("all_norms") is not None
 
+    # adaptive ray-count controller (reference train.py:616-627 tracks
+    # target_num_samples field samples/step between min/max_batch_size).
+    # The TPU version quantizes to pow2 buckets so the jitted step only
+    # recompiles at bucket transitions (a handful over a run), and adapts
+    # on the progress cadence to avoid a device sync every iteration.
+    target_ns = params.get("target_num_samples")
+    min_bs = int(params.get("min_batch_size", batch_size))
+    max_bs = int(params.get("max_batch_size", batch_size))
+    adapt_bs = bool(target_ns) and max_bs > min_bs
+    cur_bs = batch_size
+
     ori_mult, pred_mult = 1.0, 1.0
     psnrs = []
     t_start = time.time()
     rays_done = 0
     l1_rest_at = 0
     for iteration in range(n_iters):
-        ids = sampler.nextids()
+        ids = sampler.nextids(cur_bs)
         rays = jnp.asarray(train_ds["all_rays"][ids])
         rgba = train_ds["all_rgbs"][ids]
         bg_col = trainer.bg_col_for(bg_mode, rng)
@@ -155,7 +166,13 @@ def reconstruction(cfg, log=print):
             jnp.asarray(bg_col), sk, weights, gt_normals)
         ori_mult *= ori_decay
         pred_mult *= pred_decay
-        rays_done += batch_size
+        rays_done += cur_bs
+        if adapt_bs and iteration % 16 == 15:
+            ns = float(metrics["n_valid_samples"])
+            spr = max(ns / cur_bs, 1e-3)
+            bucket = 2 ** int(math.floor(math.log2(
+                max(float(target_ns) / spr, 1.0))))
+            cur_bs = int(np.clip(bucket, min_bs, max_bs))
 
         if iteration % cfg.get("progress_refresh_rate", 50) == 0:
             mse = float(metrics["photo_mse"])
@@ -177,6 +194,7 @@ def reconstruction(cfg, log=print):
             nmf = new_nmf
             tx, opt_state, step_fn = init_optimizer(nmf)
             l1_rest_at = iteration + 1
+            cur_bs = batch_size  # reset ray counters (train.py:807-813)
             log(f"iter {iteration}: schedule event -> optimizer reinit; "
                 f"grid={nmf.rf.grid_size}")
         else:
@@ -199,12 +217,18 @@ def reconstruction(cfg, log=print):
     res = {}
     if cfg.get("render_test", True):
         key, ek = jax.random.split(key)
+        # dataset yaml gt_bg resolves under backgrounds/ (reference
+        # train.py:489-493); top-level gt_bg= is an absolute override
+        gt_bg_path = cfg.get("gt_bg")
+        if cfg["dataset"].get("gt_bg"):
+            ds_bg = Path(datadir) / "backgrounds" / cfg["dataset"]["gt_bg"]
+            if ds_bg.exists():
+                gt_bg_path = str(ds_bg)
         gt_bg = None
-        if cfg.get("gt_bg"):
-            import imageio.v2 as imageio
+        if gt_bg_path:
+            from .data.exr import imread_any
 
-            gt_bg = np.asarray(imageio.imread(cfg["gt_bg"]),
-                               dtype=np.float32)
+            gt_bg = imread_any(gt_bg_path)
         res = eval_lib.evaluate(nmf, test_ds, ek,
                                 save_dir=str(logfolder / "imgs_test_all"),
                                 n_vis=cfg.get("N_vis", -1), gt_bg=gt_bg)

@@ -60,7 +60,11 @@ def rgb_psnr(img0, img1, quantize=True):
 
 def rgb_ssim(img0, img1, max_val=1.0, filter_size=11, filter_sigma=1.5,
              k1=0.01, k2=0.03, return_map=False):
-    """mip-NeRF Gaussian-filter SSIM (reference utils.py:90-136)."""
+    """mip-NeRF Gaussian-filter SSIM (reference utils.py:90-136).
+
+    Transcribed from google/mipnerf internal/math.py (Apache-2.0) -- the
+    same upstream the reference credits; bit-identical SSIM is required for
+    metric parity with its stats pipeline."""
     import scipy.signal
 
     img0 = np.asarray(img0)

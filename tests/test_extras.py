@@ -910,3 +910,36 @@ class TestRealLoaders:
         # the blender->opencv pose flip)
         center_dir = ds["all_rays"].reshape(h, w, 6)[h // 2, w // 2, 3:]
         assert center_dir[0] < 0 and center_dir[1] < 0
+
+
+class TestExrAndVideo:
+    def test_exr_roundtrip_all_modes(self, tmp_path):
+        from nmf_tpu.data.exr import read_exr, write_exr
+
+        rng = np.random.default_rng(0)
+        for C in (1, 3, 4):
+            for comp in ("none", "zips", "zip"):
+                img = (rng.normal(size=(19, 23, C)) * 5).astype(np.float32)
+                p = tmp_path / f"t{C}{comp}.exr"
+                write_exr(p, img.squeeze(), compression=comp)
+                back = read_exr(p)
+                np.testing.assert_array_equal(back, img)
+
+    def test_exr_zip_compresses(self, tmp_path):
+        import os
+
+        from nmf_tpu.data.exr import write_exr
+
+        img = np.ones((64, 64, 3), np.float32)
+        write_exr(tmp_path / "z.exr", img, compression="zip")
+        write_exr(tmp_path / "n.exr", img, compression="none")
+        assert (os.path.getsize(tmp_path / "z.exr")
+                < os.path.getsize(tmp_path / "n.exr") / 10)
+
+    def test_write_video(self, tmp_path):
+        from nmf_tpu.eval import write_video
+
+        frames = [np.full((16, 16, 3), i / 10.0, np.float32)
+                  for i in range(8)]
+        out = write_video(tmp_path / "v.mp4", frames, fps=10)
+        assert out is not None and out.exists() and out.stat().st_size > 0
