@@ -224,6 +224,12 @@ def load_dataset(cfg_dataset, datadir, split="train", n_vis=-1):
         phi = -30.0 if split == "train" else -25.0
         ds = make_sphere_dataset(n_views=n_views, H=size, W=size, seed=seed,
                                  phi_deg=phi)
+    elif name == "synthetic_shiny":
+        from .synthetic import make_shiny_dataset
+
+        n_views = cfg_dataset.get("n_views", 24)
+        size = cfg_dataset.get("image_size", 128)
+        ds = make_shiny_dataset(n_views=n_views, H=size, W=size, split=split)
     else:
         raise ValueError(f"unknown dataset {name}")
     if "near_far" in cfg_dataset and cfg_dataset["near_far"]:

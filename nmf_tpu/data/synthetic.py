@@ -68,3 +68,233 @@ def make_sphere_dataset(n_views=8, H=64, W=64, radius=4.0, seed=0,
                                dtype=np.float32),
         "white_bg": True,
     }
+
+
+# ---------------------------------------------------------------------------
+# Shiny protocol scene: specular spheres under an analytic HDR environment.
+# Gives every metric of the reference's stats pipeline (renderer.py:508-532)
+# an analytic ground truth: rgb/alpha, world normals, specular tints, and
+# the environment map itself (for envmap_psnr_top recovery).
+# ---------------------------------------------------------------------------
+
+_SHINY_SPHERES = [
+    # center, radius, albedo, f0 color (tint), roughness
+    (np.array([-0.72, -0.5, -0.1]), 0.48, np.array([0.2, 0.05, 0.05]),
+     np.array([1.0, 0.71, 0.29]), 0.08),   # gold, near-mirror
+    (np.array([0.72, -0.5, -0.1]), 0.48, np.array([0.05, 0.08, 0.35]),
+     np.array([0.04, 0.04, 0.04]), 0.5),   # blue dielectric, rough
+    (np.array([0.0, 0.62, 0.15]), 0.52, np.array([0.06, 0.06, 0.06]),
+     np.array([0.95, 0.93, 0.88]), 0.22),  # silver, medium
+]
+
+
+def shiny_env_fn(dirs):
+    """Analytic HDR environment (returns linear radiance, (N, 3))."""
+    d = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    c = d[..., 2]
+    up = np.clip(c, 0, 1)[..., None]
+    sky = (np.array([0.35, 0.5, 0.85]) * up
+           + np.array([0.9, 0.85, 0.8]) * (1 - up))
+    ground = np.array([0.25, 0.2, 0.16])
+    base = np.where(c[..., None] >= 0, sky, ground[None])
+    sun_dir = np.array([0.55, 0.35, 0.76])
+    sun_dir /= np.linalg.norm(sun_dir)
+    sun = np.clip((d * sun_dir).sum(-1), 0, 1)[..., None] ** 600
+    lobe1_dir = np.array([-0.7, 0.5, 0.3])
+    lobe1_dir /= np.linalg.norm(lobe1_dir)
+    lobe1 = np.clip((d * lobe1_dir).sum(-1), 0, 1)[..., None] ** 40
+    lobe2_dir = np.array([0.2, -0.9, 0.1])
+    lobe2_dir /= np.linalg.norm(lobe2_dir)
+    lobe2 = np.clip((d * lobe2_dir).sum(-1), 0, 1)[..., None] ** 40
+    return (base + 40.0 * sun * np.array([1.0, 0.95, 0.85])
+            + 2.5 * lobe1 * np.array([0.9, 0.3, 0.2])
+            + 1.8 * lobe2 * np.array([0.2, 0.7, 0.9])).astype(np.float32)
+
+
+def equirect_dirs(H, W):
+    """Directions for each texel in the IntegralEquirect orientation
+    (modules/bg.py __call__: row 0 = +z pole, col = phi/2pi * W - 0.5)."""
+    r = (np.arange(H) + 0.5) / H
+    cl = (np.arange(W) + 0.5) / W
+    theta = -(2 * r - 1) * np.pi / 2          # +pi/2 (up) .. -pi/2
+    phi = 2 * np.pi * cl
+    ct, st = np.cos(theta), np.sin(theta)
+    cp, sp = np.cos(phi), np.sin(phi)
+    return np.stack([ct[:, None] * cp[None], ct[:, None] * sp[None],
+                     np.broadcast_to(st[:, None], (H, W))], -1)
+
+
+class _ShinyEnv:
+    """Precomputed equirect + blur pyramid + irradiance lookup."""
+
+    def __init__(self, H=128, seed=0):
+        W = 2 * H
+        self.H, self.W = H, W
+        dirs = equirect_dirs(H, W)
+        self.map = shiny_env_fn(dirs.reshape(-1, 3)).reshape(H, W, 3)
+        # blur pyramid: progressive wrap-padded box blurs approximate the
+        # roughness prefilter
+        levels = [self.map]
+        cur = self.map
+        for _ in range(5):
+            cur = self._blur(cur)
+            levels.append(cur)
+        self.levels = np.stack(levels)  # (L, H, W, 3)
+        # irradiance from a coarse env: I(n) = sum E max(n.d, 0) sa / pi
+        gH, gW = 32, 64
+        gd = equirect_dirs(gH, gW).reshape(-1, 3)
+        genv = shiny_env_fn(gd)
+        sa = (2 * np.pi / gW) * (np.pi / gH) * np.cos(
+            -(2 * ((np.arange(gH) + 0.5) / gH) - 1) * np.pi / 2)
+        sa = np.repeat(sa, gW)
+        iH, iW = 32, 64
+        idirs = equirect_dirs(iH, iW).reshape(-1, 3)
+        cosm = np.clip(idirs @ gd.T, 0, None)  # (iHW, gHW)
+        self.irr = ((cosm * sa[None]) @ genv / np.pi
+                    ).reshape(iH, iW, 3).astype(np.float32)
+
+    @staticmethod
+    def _blur(im, k=9):
+        """Box blur: azimuth wraps, elevation clamps at the poles."""
+        H, W, _ = im.shape
+        off = np.arange(-(k // 2), k // 2 + 1)
+        ci = np.mod(np.arange(W)[None] + off[:, None], W)      # (k, W)
+        x = im[:, ci].mean(axis=1)                             # (H, W, 3)
+        ri = np.clip(np.arange(H)[None] + off[:, None], 0, H - 1)
+        return x[ri].mean(axis=0).astype(np.float32)
+
+    def _uv(self, dirs, H, W):
+        d = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+        theta = np.arctan2(d[:, 2], np.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2))
+        phi = np.mod(np.arctan2(d[:, 1], d[:, 0]), 2 * np.pi)
+        r = np.clip(((-theta / np.pi * 2) + 1) / 2 * H - 0.5, 0, H - 1)
+        c = np.mod(phi / (2 * np.pi) * W - 0.5, W)
+        return r, c
+
+    @staticmethod
+    def _bilinear(img, r, c):
+        H, W, _ = img.shape
+        r0 = np.floor(r).astype(int)
+        c0 = np.floor(c).astype(int)
+        r1 = np.clip(r0 + 1, 0, H - 1)
+        c1 = (c0 + 1) % W
+        fr = (r - r0)[..., None]
+        fc = (c - c0)[..., None]
+        r0 = np.clip(r0, 0, H - 1)
+        c0 = np.mod(c0, W)
+        return ((img[r0, c0] * (1 - fr) + img[r1, c0] * fr) * (1 - fc)
+                + (img[r0, c1] * (1 - fr) + img[r1, c1] * fr) * fc)
+
+    def radiance(self, dirs, rough=None):
+        r, c = self._uv(dirs, self.H, self.W)
+        if rough is None:
+            return self._bilinear(self.map, r, c)
+        lvl = np.clip(np.sqrt(rough) * 4.5, 0, len(self.levels) - 1)
+        lo = np.floor(lvl).astype(int)
+        hi = np.clip(lo + 1, 0, len(self.levels) - 1)
+        f = (lvl - lo)[..., None]
+        a = self._bilinear_lvl(lo, r, c)
+        b = self._bilinear_lvl(hi, r, c)
+        return a * (1 - f) + b * f
+
+    def _bilinear_lvl(self, lvl, r, c):
+        out = np.empty((r.shape[0], 3), np.float32)
+        for l in np.unique(lvl):
+            m = lvl == l
+            out[m] = self._bilinear(self.levels[l], r[m], c[m])
+        return out
+
+    def irradiance(self, n):
+        r, c = self._uv(n, 32, 64)
+        return self._bilinear(self.irr, r, c)
+
+
+def _shiny_first_hit(rays_o, rays_d):
+    N = rays_o.shape[0]
+    best_t = np.full(N, np.inf)
+    idx = np.full(N, -1)
+    for i, (c, rad, *_rest) in enumerate(_SHINY_SPHERES):
+        hit, t, _ = _sphere_hit(rays_o, rays_d, c, rad)
+        closer = hit & (t < best_t)
+        best_t[closer] = t[closer]
+        idx[closer] = i
+    return idx, best_t
+
+
+def render_shiny_scene(rays_o, rays_d, env: "_ShinyEnv"):
+    """Analytic GT shade. Returns (rgb linear fg, alpha, normals, tints)."""
+    N = rays_o.shape[0]
+    idx, t = _shiny_first_hit(rays_o, rays_d)
+    hit = idx >= 0
+    rgb = env.radiance(rays_d)  # background radiance
+    normals = np.zeros((N, 3), np.float32)
+    tints = np.zeros((N, 3), np.float32)
+    for i, (c, rad, albedo, f0, rough) in enumerate(_SHINY_SPHERES):
+        m = idx == i
+        if not m.any():
+            continue
+        p = rays_o[m] + t[m][:, None] * rays_d[m]
+        n = (p - c) / rad
+        v = -rays_d[m]
+        cos = np.clip((n * v).sum(-1), 0, 1)[:, None]
+        F = f0[None] + (1 - f0[None]) * (1 - cos) ** 5
+        refl = rays_d[m] + 2 * cos * n
+        spec = F * env.radiance(refl, np.full(m.sum(), rough))
+        diff = albedo[None] * env.irradiance(n)
+        rgb[m] = spec + (1 - F) * diff
+        normals[m] = n
+        tints[m] = f0[None]
+    return rgb.astype(np.float32), hit.astype(np.float32), normals, tints
+
+
+def _np_srgb(x):
+    limit = 0.0031308
+    return np.where(x > limit,
+                    1.055 * np.clip(x, limit, None) ** (1 / 2.4) - 0.055,
+                    12.92 * x)
+
+
+def make_shiny_dataset(n_views=24, H=128, W=128, radius=3.2, seed=0,
+                       phi_deg=-25.0, split="train", env=None):
+    """Protocol scene (see module header). all_rgbs is RGBA (tonemapped
+    foreground + alpha) so training can blend random backgrounds like the
+    blender loader; test views sit between train azimuths."""
+    env = env or _ShinyEnv()
+    focal = 0.5 * W / np.tan(0.5 * np.deg2rad(55.0))
+    directions = get_ray_directions_blender(H, W, [focal, focal])
+    directions = directions / np.linalg.norm(directions, axis=-1,
+                                             keepdims=True)
+    offset = 0.0 if split == "train" else 180.0 / n_views
+    phis = [phi_deg, phi_deg - 12.0]
+    all_rays, all_rgbs, all_norms, all_tints = [], [], [], []
+    poses = []
+    for i in range(n_views):
+        theta = 360.0 * i / n_views + offset
+        c2w = pose_spherical(theta, phis[i % len(phis)], radius)
+        poses.append(c2w)
+        rays_o, rays_d = get_rays(directions, c2w)
+        rgb, alpha, norms, tints = render_shiny_scene(rays_o, rays_d, env)
+        ldr = np.clip(_np_srgb(np.clip(rgb, 0, None)), 0, 1)
+        rgba = np.concatenate([ldr, alpha[:, None]], -1)
+        # background pixels carry the env color but alpha 0: the trainer
+        # blends them over bg_col exactly like blender RGBA frames
+        all_rays.append(np.concatenate([rays_o, rays_d], axis=-1))
+        all_rgbs.append(rgba)
+        all_norms.append(norms)
+        all_tints.append(tints)
+    return {
+        "all_rays": np.concatenate(all_rays, 0).astype(np.float32),
+        "all_rgbs": np.concatenate(all_rgbs, 0).astype(np.float32),
+        "all_norms": np.concatenate(all_norms, 0).astype(np.float32),
+        "all_tints": np.concatenate(all_tints, 0).astype(np.float32),
+        "poses": np.stack(poses),
+        "img_wh": (W, H),
+        "focal": focal,
+        "near_far": (radius - 1.8, radius + 1.8),
+        "scene_bbox": np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]],
+                               dtype=np.float32),
+        "white_bg": False,
+        # eval's calc_envmap_psnr flips columns then rolls by W/2; emit the
+        # GT pano pre-inverse-transformed so it lands in bg_mat orientation
+        "gt_bg_im": np.roll(env.map, env.W // 2, axis=1)[:, ::-1].copy(),
+    }

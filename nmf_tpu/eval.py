@@ -229,12 +229,13 @@ def evaluate(nmf: NMF, dataset, key, save_dir: Optional[str] = None,
             mask = np.linalg.norm(gtn, axis=-1) > 0.9
             pn = maps.get("world_normal")
             if pn is not None and mask.any():
-                cos = np.clip((pn * gtn).sum(-1), -1, 1)[mask]
+                cos = np.clip((pn * gtn).sum(-1), -1, 1)
                 err_deg = np.rad2deg(np.arccos(cos))
-                stats["norm_err"].append(float(err_deg.mean()))
+                stats["norm_err"].append(float(err_deg[mask].mean()))
                 if save_dir is not None and save_all_maps:
                     _save_map(save_dir, "normal_err", img_i,
-                              np.clip(err_deg / 90.0, 0, 1), prefix)
+                              np.where(mask, np.clip(err_deg / 90.0, 0, 1),
+                                       0.0), prefix)
         if ("all_tints" in dataset and dataset.get("all_tints") is not None
                 and "tint" in maps):
             gtt = dataset["all_tints"][img_i * n_px:(img_i + 1) * n_px]

@@ -229,6 +229,8 @@ def reconstruction(cfg, log=print):
             from .data.exr import imread_any
 
             gt_bg = imread_any(gt_bg_path)
+        elif test_ds.get("gt_bg_im") is not None:
+            gt_bg = test_ds["gt_bg_im"]  # procedural scenes carry their GT
         res = eval_lib.evaluate(nmf, test_ds, ek,
                                 save_dir=str(logfolder / "imgs_test_all"),
                                 n_vis=cfg.get("N_vis", -1), gt_bg=gt_bg)

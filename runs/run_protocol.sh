@@ -1,0 +1,16 @@
+#!/bin/bash
+# Protocol quality runs: full 30k-iter schedules on the shiny procedural
+# scene (nerf_synthetic is not mounted in this environment).
+cd /root/repo
+set -x
+{
+python train.py model=tensorf dataset=synthetic_shiny \
+  dataset.image_size=160 dataset.n_views=40 seed=20211200 \
+  vis_every=0 N_vis=10 basedir=runs expname=tensorf30k \
+  progress_refresh_rate=500 render_test=True
+python train.py model=microfacet_tensorf2 dataset=synthetic_shiny \
+  dataset.image_size=160 dataset.n_views=40 seed=20211200 \
+  vis_every=0 N_vis=10 basedir=runs expname=flagship30k \
+  progress_refresh_rate=500 render_test=True
+} > /root/repo/runs/protocol.log 2>&1
+echo DONE >> /root/repo/runs/protocol.log
