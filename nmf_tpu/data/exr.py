@@ -150,7 +150,25 @@ def _parse_channels(data: bytes):
 
 
 def read_exr(path):
-    """Returns (H, W, C) float32. 3/4-channel files come back RGB(A)."""
+    """Returns (H, W, C) float32. 3/4-channel files come back RGB(A).
+
+    NONE/ZIPS/ZIP scanline files decode in pure python; anything else
+    (DWA/PIZ/...) routes through the native OpenEXR bridge
+    (native/exrio.cpp) when available."""
+    try:
+        return _read_exr_py(path)
+    except ValueError as e:
+        if "unsupported" not in str(e):
+            raise
+        from ..native import exr_read_native
+
+        im = exr_read_native(path)
+        if im is None:
+            raise
+        return im
+
+
+def _read_exr_py(path):
     with open(path, "rb") as f:
         magic, version = struct.unpack("<ii", f.read(8))
         if magic != _MAGIC:

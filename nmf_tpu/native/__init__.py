@@ -86,3 +86,72 @@ def gather_batch(rays, rgbs, ids):
                      ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
                      _fp(out_rays), _fp(out_rgbs))
     return out_rays, out_rgbs
+
+
+# ---------------------------------------------------------------------------
+# EXR bridge (system OpenEXR; covers DWA/PIZ which the pure-python reader in
+# data/exr.py does not)
+# ---------------------------------------------------------------------------
+_EXR_LIB = None
+
+
+def _load_exr():
+    global _EXR_LIB
+    if _EXR_LIB is not None:
+        return _EXR_LIB if _EXR_LIB != "unavailable" else None
+    so = _HERE / "libexrio.so"
+    if not so.exists():
+        try:
+            subprocess.run(["sh", str(_HERE / "build_exr.sh")], check=True,
+                           capture_output=True)
+        except Exception:
+            _EXR_LIB = "unavailable"
+            return None
+    try:
+        lib = ctypes.CDLL(str(so))
+    except OSError:
+        _EXR_LIB = "unavailable"
+        return None
+    lib.exr_read_size.argtypes = [ctypes.c_char_p,
+                                  ctypes.POINTER(ctypes.c_int),
+                                  ctypes.POINTER(ctypes.c_int)]
+    lib.exr_read_rgba.argtypes = [ctypes.c_char_p,
+                                  ctypes.POINTER(ctypes.c_float),
+                                  ctypes.c_int, ctypes.c_int]
+    lib.exr_write_rgba.argtypes = [ctypes.c_char_p,
+                                   ctypes.POINTER(ctypes.c_float),
+                                   ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                   ctypes.c_int]
+    _EXR_LIB = lib
+    return lib
+
+
+def exr_read_native(path):
+    """Read any-compression EXR as (H, W, 4) float32 RGBA, or None if the
+    native library is unavailable or the read fails."""
+    lib = _load_exr()
+    if lib is None:
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    if lib.exr_read_size(str(path).encode(), ctypes.byref(w),
+                         ctypes.byref(h)) != 0:
+        return None
+    out = np.empty((h.value, w.value, 4), np.float32)
+    rc = lib.exr_read_rgba(str(path).encode(), _fp(out), w.value, h.value)
+    return out if rc == 0 else None
+
+
+def exr_write_native(path, img, compression=3):
+    """Write (H, W[, C]) float via OpenEXR (half RGBA channels).
+    compression: 0 none, 2 zips, 3 zip, 4 piz, 9 dwab. Returns bool."""
+    lib = _load_exr()
+    if lib is None:
+        return False
+    img = np.ascontiguousarray(img, np.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    H, W, C = img.shape
+    rc = lib.exr_write_rgba(str(path).encode(), _fp(img), W, H, C,
+                            int(compression))
+    return rc == 0

@@ -275,6 +275,11 @@ def main(argv=None):
         LOGGER.enable = True
     if cfg.get("render_only"):
         return render_test(cfg)
+    if isinstance(cfg.get("dataset"), list):
+        # list-valued dataset yaml (dual_lego/...) -> dual-scene driver
+        from .train_dualbg import reconstruction_dual
+
+        return reconstruction_dual(cfg)
     return reconstruction(cfg)
 
 

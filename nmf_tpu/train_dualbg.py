@@ -32,7 +32,15 @@ from .train import calibrate_model, make_loss_weights
 def reconstruction_dual(cfg, log=print):
     params = cfg["model"]["params"]
     datadir = cfg.get("datadir", "/data")
-    ds_cfgs = [cfg["dataset"], cfg.get("dataset2", cfg["dataset"])]
+    # list-valued dataset yamls (dual_lego/dual_mats) carry both scenes;
+    # otherwise dataset2=<name> selects the second (reference
+    # train_dualbg.py consumes a dataset list)
+    if isinstance(cfg["dataset"], list):
+        ds_cfgs = list(cfg["dataset"])[:2]
+        if len(ds_cfgs) == 1:
+            ds_cfgs.append(ds_cfgs[0])
+    else:
+        ds_cfgs = [cfg["dataset"], cfg.get("dataset2", cfg["dataset"])]
     datasets = [load_dataset(c, datadir, split="train") for c in ds_cfgs]
     test_sets = [load_dataset(c, datadir, split="test") for c in ds_cfgs]
 
