@@ -1,12 +1,18 @@
 #!/usr/bin/env python
-"""Benchmark: training-step ray throughput of the flagship microfacet model.
+"""Benchmark: ray throughput of the five BASELINE.json configs + roofline.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The LAST stdout line is ONE JSON object with the driver contract keys
+{"metric", "value", "unit", "vs_baseline"} for the flagship microfacet
+train step, plus an "extra" dict holding every other config's line and the
+roofline estimate (flops/bytes per step from XLA cost analysis ->
+MFU / HBM utilization on a v5e: 197 TFLOP/s bf16, 819 GB/s).
 
 Baseline constant: the reference (half-potato/nmf) publishes no numbers
-(BASELINE.md); its CUDA training loop on an A100 consumes ~4096-8000 rays per
-iteration at roughly ~1 it/s for the full NMF model (hours for 30k iters), so
-we take 4000 rays/s as the A100 reference-point and report the ratio.
+(BASELINE.md); its CUDA training loop on an A100 consumes ~4096-8000 rays
+per iteration at roughly ~1 it/s for the full NMF model (hours for 30k
+iters), so 4000 rays/s is the A100 reference point for the ratio.
+
+Run `python bench.py quick` to bench only the flagship config.
 """
 import json
 import sys
@@ -29,65 +35,185 @@ def _enable_compile_cache():
 _enable_compile_cache()
 
 REFERENCE_A100_RAYS_PER_SEC = 4000.0
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_HBM_BYTES_PER_SEC = 819e9
 
 
-def main():
-    import jax
+def _rays(B, seed=0):
     import jax.numpy as jnp
 
-    from __graft_entry__ import _build_nmf
-    from nmf_tpu import trainer
-
-    key = jax.random.PRNGKey(0)
-    # flagship-scale single-chip config
-    nmf, cfg = _build_nmf(key, grid=128, bg_res=512, k_spr=128, recur_k=64,
-                          brdf_budget=(32768, 8192), retrace=1024,
-                          proposal=64)
-
-    opt_cfg = trainer.OptimConfig(n_iters=30000)
-    tx = trainer.make_optimizer(nmf, opt_cfg)
-    opt_state = tx.init(nmf)
-    step = trainer.make_train_step(tx)
-    weights = trainer.LossWeights()
-
-    B = 4096
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     origins = np.tile(np.array([[0.0, 0.0, -4.0]], np.float32), (B, 1))
     dirs = rng.normal(size=(B, 3)).astype(np.float32)
     dirs[:, 2] = np.abs(dirs[:, 2]) + 1.0
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
-    rays = jnp.asarray(np.concatenate([origins, dirs], -1))
-    rgbs = jnp.asarray(rng.uniform(size=(B, 3)).astype(np.float32))
+    return (jnp.asarray(np.concatenate([origins, dirs], -1)),
+            jnp.asarray(rng.uniform(size=(B, 3)).astype(np.float32)))
+
+
+def _build(overrides, grid=128):
+    import jax
+
+    from nmf_tpu import config as config_lib
+    from nmf_tpu.builders import build_nmf
+
+    cfg = config_lib.compose([
+        "dataset=synthetic_sphere",
+        f"field.N_voxel_init={grid ** 3}",
+        f"field.N_voxel_final={grid ** 3}",
+        "field.upsamp_list=[]", *overrides])
+    aabb = np.array([[-1.5] * 3, [1.5] * 3], np.float32)
+    return build_nmf(jax.random.PRNGKey(0), cfg["model"]["arch"], aabb,
+                     (2.0, 6.0))
+
+
+def _time_train_step(nmf, B=4096, n_iters=10, trials=3, cost=False):
+    """Returns (rays/s, {flops, bytes} or None). Under the axon remote-TPU
+    plugin block_until_ready is lazy; a host fetch is the only reliable
+    barrier, so every trial ends with one."""
+    import jax
+
+    from nmf_tpu import trainer
+
+    key = jax.random.PRNGKey(0)
+    tx = trainer.make_optimizer(nmf, trainer.OptimConfig(n_iters=30000))
+    opt_state = tx.init(nmf)
+    step = trainer.make_train_step(tx)
+    weights = trainer.LossWeights()
+    rays, rgbs = _rays(B)
+    import jax.numpy as jnp
+
     bg_col = jnp.ones((3,))
 
-    # warmup / compile. NOTE: under the axon remote-TPU plugin
-    # block_until_ready is lazy; a host fetch (float()) is the only reliable
-    # execution barrier, so every trial ends with one.
+    ca = None
+    if cost:
+        try:
+            # make_train_step returns a jax.jit-wrapped fn -> .lower works
+            lowered = trainer.make_train_step(tx, donate=False).lower(
+                nmf, opt_state, rays, rgbs, bg_col, key, weights)
+            an = lowered.compile().cost_analysis()
+            if isinstance(an, list):
+                an = an[0]
+            ca = {"flops": float(an.get("flops", 0.0)),
+                  "bytes": float(an.get("bytes accessed", 0.0))}
+        except Exception:
+            ca = None
+
     key, sk = jax.random.split(key)
     nmf, opt_state, m = step(nmf, opt_state, rays, rgbs, bg_col, sk, weights)
     float(m["loss"])
-
-    # The remote-TPU tunnel is noisy (shared host; compile-server residue):
-    # time several trials and report the best.
-    n_iters = 10
     best_dt = float("inf")
-    for _trial in range(3):
+    for _ in range(trials):
         t0 = time.perf_counter()
         for _ in range(n_iters):
             key, sk = jax.random.split(key)
             nmf, opt_state, m = step(nmf, opt_state, rays, rgbs, bg_col, sk,
                                      weights)
-        float(m["loss"])  # host fetch = real barrier for the chained steps
+        float(m["loss"])
         best_dt = min(best_dt, time.perf_counter() - t0)
+    return B * n_iters / best_dt, best_dt / n_iters, ca
 
-    rays_per_sec = B * n_iters / best_dt
+
+def _time_eval(nmf, B=4096, n_iters=10, trials=3):
+    import jax
+
+    from nmf_tpu.render import render
+
+    key = jax.random.PRNGKey(0)
+    rays, _ = _rays(B)
+
+    bg_cache = nmf.bg_module.prepare() if nmf.bg_module is not None else None
+    fn = jax.jit(lambda nmf, r, k: render(
+        nmf, r, k, is_train=False, bg_col=None if bg_cache else (1., 1., 1.),
+        bg_cache=bg_cache)[0]["rgb_map"])
+    out = fn(nmf, rays, key)
+    float(out.sum())
+    best_dt = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            key, sk = jax.random.split(key)
+            out = fn(nmf, rays, sk)
+        float(out.sum())
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    return B * n_iters / best_dt
+
+
+def bench_all(quick=False):
+    results = {}
+
+    # 4. flagship microfacet (primary driver metric) -- with cost analysis
+    nmf = _build([
+        "model=microfacet_tensorf2",
+        "model.arch.max_samples_per_ray=128",
+        "model.arch.recur_samples_per_ray=64",
+        "model.arch.proposal_samples_per_ray=64",
+        "model.arch.model.brdf_ray_budget=[32768,8192]",
+        "model.arch.model.max_retrace_rays=[1024]",
+        "model.arch.bg_module.bg_resolution=512"])
+    rps, step_s, ca = _time_train_step(nmf, cost=True)
+    results["microfacet_flagship"] = {"rays_per_sec": round(rps, 1),
+                                      "step_ms": round(step_s * 1e3, 2)}
+    if ca and ca["flops"]:
+        results["roofline"] = {
+            "flops_per_step": ca["flops"],
+            "bytes_per_step": ca["bytes"],
+            "mfu": round(ca["flops"] / step_s / V5E_PEAK_BF16_FLOPS, 4),
+            "hbm_util": round(ca["bytes"] / step_s / V5E_HBM_BYTES_PER_SEC,
+                              4),
+            "arith_intensity_flops_per_byte": round(
+                ca["flops"] / max(ca["bytes"], 1), 2),
+        }
+    flagship = rps
+
+    if not quick:
+        # 1. vanilla tensorf, uniform march (no alpha mask culling)
+        nmf = _build(["model=tensorf",
+                      "model.arch.sampler.enable_alpha_mask=False",
+                      "model.arch.max_samples_per_ray=128"])
+        rps, step_s, _ = _time_train_step(nmf)
+        results["tensorf_uniform_128"] = {"rays_per_sec": round(rps, 1),
+                                          "step_ms": round(step_s * 1e3, 2)}
+
+        # 2. tensorf + occupancy-grid sampler (continuous_alphagrid path)
+        nmf = _build(["model=tensorf",
+                      "model.arch.sampler._target_="
+                      "samplers.nerf_acc.NerfAccSampler",
+                      "model.arch.sampler.grid_size=128",
+                      "model.arch.max_samples_per_ray=128"])
+        rps, step_s, _ = _time_train_step(nmf)
+        results["tensorf_occgrid"] = {"rays_per_sec": round(rps, 1),
+                                      "step_ms": round(step_s * 1e3, 2)}
+
+        # 3. Ref-NeRF shading variant
+        nmf = _build(["model=refnerf",
+                      "model.arch.max_samples_per_ray=128"])
+        rps, step_s, _ = _time_train_step(nmf)
+        results["refnerf"] = {"rays_per_sec": round(rps, 1),
+                              "step_ms": round(step_s * 1e3, 2)}
+
+        # 5. relighting render_only (eval path, envmap background)
+        nmf = _build([
+            "model=microfacet_tensorf2",
+            "model.arch.max_samples_per_ray=128",
+            "model.arch.recur_samples_per_ray=64",
+            "model.arch.proposal_samples_per_ray=64",
+            "model.arch.model.brdf_ray_budget=[32768,8192]",
+            "model.arch.model.max_retrace_rays=[1024]",
+            "model.arch.bg_module.bg_resolution=512"])
+        rps = _time_eval(nmf)
+        results["render_only_relight"] = {"rays_per_sec": round(rps, 1)}
+
+    for name, r in results.items():
+        print(json.dumps({"config": name, **r}))
     print(json.dumps({
         "metric": "train_rays_per_sec_microfacet",
-        "value": round(rays_per_sec, 1),
+        "value": round(flagship, 1),
         "unit": "rays/s/chip",
-        "vs_baseline": round(rays_per_sec / REFERENCE_A100_RAYS_PER_SEC, 3),
+        "vs_baseline": round(flagship / REFERENCE_A100_RAYS_PER_SEC, 3),
+        "extra": results,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    bench_all(quick=(len(sys.argv) > 1 and sys.argv[1] == "quick"))

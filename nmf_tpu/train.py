@@ -100,14 +100,26 @@ def reconstruction(cfg, log=print):
         lr_delay_mult=params.get("lr_delay_mult", 0.1),
         n_iters=n_iters)
 
+    # device-resident ray store (reference keeps its store on-GPU,
+    # train.py:333-334): per-step host traffic is just ids + one scalar
+    # vector, instead of ray/rgb/weight uploads whose tunnel round-trips
+    # dominated the step time
+    has_norms = train_ds.get("all_norms") is not None
+    store_rays = jax.device_put(train_ds["all_rays"])
+    store_rgba = jax.device_put(train_ds["all_rgbs"])
+    store_norms = (jax.device_put(train_ds["all_norms"]) if has_norms
+                   else None)
+    key, base_key = jax.random.split(key)
+
     def init_optimizer(nmf):
         tx = trainer.make_optimizer(nmf, opt_cfg)
-        return tx, tx.init(nmf), trainer.make_train_step(
-            tx, hdr=nmf.hdr,
-            use_gt_normals=train_ds.get("all_norms") is not None,
+        return tx, tx.init(nmf), trainer.make_device_train_step(
+            tx, base_key, hdr=nmf.hdr,
+            use_gt_normals=has_norms,
             donate=cfg.get("donate_buffers", True),
             ndc_ray=bool(cfg["dataset"].get("ndc_ray", False)),
-            charbonier=bool(params.get("charbonier_loss", False)))
+            charbonier=bool(params.get("charbonier_loss", False)),
+            charbonier_eps=float(params.get("charbonier_eps", 1e-3)))
 
     tx, opt_state, step_fn = init_optimizer(nmf)
 
@@ -124,7 +136,6 @@ def reconstruction(cfg, log=print):
                                     seed=cfg.get("seed", 0))
     rng = np.random.default_rng(cfg.get("seed", 0))
     bg_mode = params.get("bg_col", "white")
-    has_norms = train_ds.get("all_norms") is not None
 
     # adaptive ray-count controller (reference train.py:616-627 tracks
     # target_num_samples field samples/step between min/max_batch_size).
@@ -144,26 +155,17 @@ def reconstruction(cfg, log=print):
     l1_rest_at = 0
     for iteration in range(n_iters):
         ids = sampler.nextids(cur_bs)
-        rays = jnp.asarray(train_ds["all_rays"][ids])
-        rgba = train_ds["all_rgbs"][ids]
         bg_col = trainer.bg_col_for(bg_mode, rng)
-        if rgba.shape[-1] == 4:
-            rgb_gt = rgba[:, :3] * rgba[:, 3:] + (1 - rgba[:, 3:]) * bg_col
-        else:
-            rgb_gt = rgba
-        rgb_gt = jnp.asarray(rgb_gt)
-        gt_normals = (jnp.asarray(train_ds["all_norms"][ids])
-                      if has_norms else None)
 
         weights = make_loss_weights(params, iteration, ori_mult, pred_mult)
         if iteration > 0 and params.get("L1_weight_rest") is not None \
                 and l1_rest_at:
             weights = weights._replace(l1_weight=params["L1_weight_rest"])
 
-        key, sk = jax.random.split(key)
         nmf, opt_state, metrics = step_fn(
-            nmf, opt_state, rays, jnp.asarray(rgb_gt),
-            jnp.asarray(bg_col), sk, weights, gt_normals)
+            nmf, opt_state, store_rays, store_rgba, store_norms,
+            jnp.asarray(ids),
+            trainer.pack_step_scalars(iteration, bg_col, weights))
         ori_mult *= ori_decay
         pred_mult *= pred_decay
         rays_done += cur_bs
@@ -265,7 +267,27 @@ def render_test(cfg, log=print):
     return nmf, res
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: repeat runs of the same config skip
+    the multi-minute cold compile (ARCHITECTURE.md compile-latency table).
+    Override the location with NMF_COMPILE_CACHE=; disable with
+    NMF_COMPILE_CACHE=0."""
+    import os
+
+    loc = os.environ.get(
+        "NMF_COMPILE_CACHE",
+        str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+    if loc == "0":
+        return
+    try:
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
 def main(argv=None):
+    _enable_compile_cache()
     argv = argv if argv is not None else sys.argv[1:]
     cfg = config_lib.compose(argv)
     if cfg.get("log_rays"):

@@ -281,6 +281,65 @@ def make_train_step(tx, hdr=False, use_gt_normals=False, donate=True,
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
 
+_N_WEIGHTS = len(LossWeights._fields) - 1  # charbonier_eps stays static
+
+
+def pack_step_scalars(iteration: int, bg_col, weights: LossWeights):
+    """One small float32 vector carrying everything that changes per step.
+
+    Through the remote-TPU tunnel every committed host value is its own
+    transfer RPC; per-step latency was dominated by ~18 tiny puts (14 loss
+    weights, bg color, key, ...). Packing them into one array plus the ids
+    batch cuts the per-iteration host->device round trips to two.
+    """
+    vals = [float(iteration), *np.asarray(bg_col, np.float32).reshape(3)]
+    vals += [float(getattr(weights, f)) for f in LossWeights._fields[:-1]]
+    return jnp.asarray(np.asarray(vals, np.float32))
+
+
+def make_device_train_step(tx, base_key, hdr=False, use_gt_normals=False,
+                           donate=True, ndc_ray=False, charbonier=False,
+                           charbonier_eps=1e-3):
+    """Device-resident train step: the whole ray/rgb store lives on device
+    (the reference moves its store to the GPU too, train.py:333-334) and the
+    batch gather + RGBA background blend + PRNG fold happen on-chip. Per
+    step the host uploads only the permutation ids and one packed scalar
+    vector (see pack_step_scalars)."""
+
+    def step(nmf: NMF, opt_state, store_rays, store_rgba, store_norms, ids,
+             scalars):
+        key = jax.random.fold_in(base_key, scalars[0].astype(jnp.int32))
+        bg_col = scalars[1:4]
+        weights = LossWeights(
+            *[scalars[4 + i] for i in range(_N_WEIGHTS)],
+            charbonier_eps=charbonier_eps)
+        rays = store_rays[ids]
+        rgba = store_rgba[ids]
+        if rgba.shape[-1] == 4:
+            rgb_gt = rgba[:, :3] * rgba[:, 3:] + (1 - rgba[:, 3:]) * bg_col
+        else:
+            rgb_gt = rgba
+        gt_normals = (store_norms[ids]
+                      if use_gt_normals and store_norms is not None else None)
+
+        (loss, metrics), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(
+                nmf, rays, rgb_gt, key, weights, bg_col,
+                gt_normals=gt_normals, hdr=hdr, ndc_ray=ndc_ray,
+                charbonier=charbonier)
+        updates, new_opt_state = tx.update(grads, opt_state, params=nmf)
+        new_nmf = optax.apply_updates(nmf, updates)
+        ok = jnp.isfinite(loss)
+        new_nmf = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), new_nmf, nmf)
+        new_opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), new_opt_state,
+            opt_state)
+        return new_nmf, new_opt_state, metrics
+
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
 class SimpleSampler:
     """Random permutation ray-batch cursor (train.py:36-52)."""
 
