@@ -362,8 +362,32 @@ def build_nmf(key, arch_cfg: Dict, aabb, near_far, grid_size=None) -> NMF:
     top.setdefault("use_pallas", False)
 
     use_pred = top.pop("use_predicted_normals", False) and normal_module is not None
-    return NMF(rf=rf, sampler=sampler, model=model, bg_module=bg,
-               normal_module=normal_module, tonemap=tonemap,
-               use_predicted_normals=use_pred,
-               predicted_normal_lambda=jnp.asarray(1.0 if use_pred else 0.0),
-               **top)
+    nmf = NMF(rf=rf, sampler=sampler, model=model, bg_module=bg,
+              normal_module=normal_module, tonemap=tonemap,
+              use_predicted_normals=use_pred,
+              predicted_normal_lambda=jnp.asarray(1.0 if use_pred else 0.0),
+              **top)
+    return strongify(nmf)
+
+
+def strongify(tree):
+    """Promote every leaf to a strongly-typed device array.
+
+    Weak-typed scalar leaves (python floats, bare jnp.asarray(0.0)) flip to
+    strong after one optimizer step, which retraces and RECOMPILES the full
+    jitted train step up to twice more (nmf leaves flip first, then the
+    Adam mu/nu copies) -- measured as 3 distinct 15 MB XLA programs per
+    schedule event. Canonicalizing at build time makes the first signature
+    the fixed point."""
+    def fix(x):
+        if hasattr(x, "dtype"):
+            return jnp.asarray(x, dtype=x.dtype)
+        if isinstance(x, bool):
+            return jnp.asarray(x, dtype=jnp.bool_)
+        if isinstance(x, int):
+            return jnp.asarray(x, dtype=jnp.int32)
+        if isinstance(x, float):
+            return jnp.asarray(x, dtype=jnp.float32)
+        return x
+
+    return jax.tree_util.tree_map(fix, tree)

@@ -93,8 +93,9 @@ class NMF:
             lam = min(max(
                 (iteration / batch_mul - self.geonorm_iters)
                 / self.geonorm_interp_iters, 0.0), 1.0)
-            # keep it an array so leaf types stay stable across jit calls
-            new = new.replace(predicted_normal_lambda=jnp.asarray(lam))
+            # explicit dtype: weak scalars would retrace the jitted step
+            new = new.replace(
+                predicted_normal_lambda=jnp.asarray(lam, dtype=jnp.float32))
         return new, changed
 
 

@@ -77,17 +77,18 @@ def main(argv=None):
     from .. import ckpt
 
     if args.input.endswith(".pfm"):
-        # portable HDR input (data/ray_utils.read_pfm); exr needs an
-        # imageio backend absent from this image
+        # portable HDR input (data/ray_utils.read_pfm)
         from ..data.ray_utils import read_pfm
 
         pano = np.asarray(read_pfm(args.input)[0], dtype=np.float32)
     else:
-        import imageio.v2 as imageio
+        # .exr panos route through the in-repo reader (+ native OpenEXR
+        # bridge for DWA/PIZ), everything else through imageio
+        from ..data.exr import imread_any
 
-        pano = np.asarray(imageio.imread(args.input), dtype=np.float32)
-        if pano.max() > 16:  # ldr png
-            pano = pano / 255.0
+        # imread_any already scales LDR formats to [0,1]; HDR exr values
+        # stay linear (a bright sun legitimately exceeds any LDR bound)
+        pano = np.asarray(imread_any(args.input), dtype=np.float32)
     pano = pano[..., :3]
     bg = fit_pano(pano, bg_resolution=args.resolution, iters=args.iters)
     ckpt.save(args.output, bg, {"source": args.input})

@@ -490,3 +490,39 @@ class TestCkptFormat2:
         nmf2, cfg, _ = ckpt.load(p)
         assert cfg == {"cfg": 1}
         assert tuple(nmf2.rf.grid_size) == tuple(nmf.rf.grid_size)
+
+
+class TestDeviceStep:
+    def test_matches_explicit_compute_loss(self):
+        """The device-resident step (on-chip batch gather + RGBA blend +
+        PRNG fold) computes the same loss as compute_loss on the manually
+        gathered batch."""
+        ds = make_sphere_dataset(n_views=2, H=16, W=16)
+        key = jax.random.PRNGKey(4)
+        nmf = build_small(key, ds, grid=16, k_spr=16)
+        cfg = trainer.OptimConfig(n_iters=10)
+        tx = trainer.make_optimizer(nmf, cfg)
+        opt_state = tx.init(nmf)
+        base_key = jax.random.PRNGKey(11)
+        step = trainer.make_device_train_step(tx, base_key, donate=False)
+
+        store_rays = jnp.asarray(ds["all_rays"])
+        rgba = np.concatenate(
+            [ds["all_rgbs"], np.ones((ds["all_rgbs"].shape[0], 1),
+                                     np.float32) * 0.5], -1)
+        store_rgba = jnp.asarray(rgba)
+        ids = jnp.arange(64, dtype=jnp.int32) * 3
+        bg = np.array([0.2, 0.4, 0.6], np.float32)
+        weights = trainer.LossWeights(ori_lambda=0.05)
+        it = 7
+        _, _, metrics = step(nmf, opt_state, store_rays, store_rgba, None,
+                             ids, trainer.pack_step_scalars(it, bg, weights))
+
+        k = jax.random.fold_in(base_key, it)
+        batch = rgba[np.asarray(ids)]
+        rgb_gt = batch[:, :3] * batch[:, 3:] + (1 - batch[:, 3:]) * bg
+        loss_ref, _ = trainer.compute_loss(
+            nmf, store_rays[ids], jnp.asarray(rgb_gt), k, weights,
+            jnp.asarray(bg))
+        np.testing.assert_allclose(float(metrics["loss"]), float(loss_ref),
+                                   rtol=1e-5)
