@@ -148,71 +148,140 @@ def reconstruction(cfg, log=print):
     adapt_bs = bool(target_ns) and max_bs > min_bs
     cur_bs = batch_size
 
+    # chained dispatch: the harness amortizes the remaining per-iteration
+    # host round trips over chain_steps scanned steps. Chains end at every
+    # iteration where host control matters: schedule events, occ-grid
+    # update ticks, progress prints, eval/save ticks, adapt ticks.
+    chain_max = max(int(cfg.get("chain_steps", 8)), 1)
+    refresh = max(int(cfg.get("progress_refresh_rate", 50) or 50), 1)
+    vis_every = cfg.get("vis_every", 0)
+
+    def event_iters():
+        evs = set()
+        for attr in ("upsamp_list",):
+            evs.update(getattr(nmf.rf, attr, ()) or ())
+        for attr in ("update_list", "shrink_iters"):
+            evs.update(getattr(nmf.sampler, attr, ()) or ())
+        uf = getattr(nmf.sampler, "update_freq", 0)
+        det = getattr(nmf.model, "detach_N_iters", 0)
+        if det:
+            evs.add(det + 1)
+        return evs, uf
+
+    def chunk_len(it):
+        """Steps until the next host-control boundary, capped at chain_max
+        and quantized to {chain_max, 1} so at most two program variants
+        compile."""
+        evs, uf = event_iters()
+        nxt = n_iters - it
+        for e in evs:
+            if e > it:
+                nxt = min(nxt, e - it)
+        if uf:
+            nxt = min(nxt, uf - (it % uf))
+        if refresh:
+            nxt = min(nxt, ((it // refresh + 1) * refresh) - it)
+        if vis_every:
+            nxt = min(nxt, vis_every - (it % vis_every))
+        if adapt_bs:
+            nxt = min(nxt, 16 - (it % 16))
+        return chain_max if nxt >= chain_max else 1
+
+    chain_fn = None
+
+    def get_chain_fn():
+        nonlocal chain_fn
+        if chain_fn is None:
+            chain_fn = trainer.make_chained_device_train_step(
+                tx, base_key, chain_max, hdr=nmf.hdr,
+                use_gt_normals=has_norms,
+                donate=cfg.get("donate_buffers", True),
+                ndc_ray=bool(cfg["dataset"].get("ndc_ray", False)),
+                charbonier=bool(params.get("charbonier_loss", False)),
+                charbonier_eps=float(params.get("charbonier_eps", 1e-3)))
+        return chain_fn
+
     ori_mult, pred_mult = 1.0, 1.0
     psnrs = []
     t_start = time.time()
     rays_done = 0
     l1_rest_at = 0
-    for iteration in range(n_iters):
-        ids = sampler.nextids(cur_bs)
-        bg_col = trainer.bg_col_for(bg_mode, rng)
-
-        weights = make_loss_weights(params, iteration, ori_mult, pred_mult)
-        if iteration > 0 and params.get("L1_weight_rest") is not None \
-                and l1_rest_at:
-            weights = weights._replace(l1_weight=params["L1_weight_rest"])
-
-        nmf, opt_state, metrics = step_fn(
-            nmf, opt_state, store_rays, store_rgba, store_norms,
-            jnp.asarray(ids),
-            trainer.pack_step_scalars(iteration, bg_col, weights))
-        ori_mult *= ori_decay
-        pred_mult *= pred_decay
-        rays_done += cur_bs
-        if adapt_bs and iteration % 16 == 15:
+    iteration = 0
+    while iteration < n_iters:
+        k = min(chunk_len(iteration), n_iters - iteration)
+        ids_l, scal_l = [], []
+        for j in range(k):
+            it = iteration + j
+            bg_col = trainer.bg_col_for(bg_mode, rng)
+            weights = make_loss_weights(params, it, ori_mult, pred_mult)
+            if it > 0 and params.get("L1_weight_rest") is not None \
+                    and l1_rest_at:
+                weights = weights._replace(
+                    l1_weight=params["L1_weight_rest"])
+            ids_l.append(sampler.nextids(cur_bs))
+            scal_l.append(np.asarray(
+                trainer.pack_step_scalars(it, bg_col, weights)))
+            ori_mult *= ori_decay
+            pred_mult *= pred_decay
+        if k == 1:
+            nmf, opt_state, metrics = step_fn(
+                nmf, opt_state, store_rays, store_rgba, store_norms,
+                jnp.asarray(ids_l[0]), jnp.asarray(scal_l[0]))
+        else:
+            nmf, opt_state, metrics = get_chain_fn()(
+                nmf, opt_state, store_rays, store_rgba, store_norms,
+                jnp.asarray(np.stack(ids_l)),
+                jnp.asarray(np.stack(scal_l)))
+        rays_done += cur_bs * k
+        last_it = iteration + k - 1
+        if adapt_bs and (last_it + 1) % 16 == 0:
             ns = float(metrics["n_valid_samples"])
             spr = max(ns / cur_bs, 1e-3)
             bucket = 2 ** int(math.floor(math.log2(
                 max(float(target_ns) / spr, 1.0))))
             cur_bs = int(np.clip(bucket, min_bs, max_bs))
 
-        if iteration % cfg.get("progress_refresh_rate", 50) == 0:
+        if (iteration // refresh) != ((last_it + 1) // refresh) \
+                or iteration == 0:
             mse = float(metrics["photo_mse"])
             psnr = -10 * math.log10(max(mse, 1e-10))
             psnrs.append(psnr)
             elapsed = time.time() - t_start
             rays_per_sec = rays_done / max(elapsed, 1e-9)
-            run_log.scalars(iteration, psnr=psnr,
+            run_log.scalars(last_it, psnr=psnr,
                             loss=float(metrics["loss"]),
                             rays_per_sec=round(rays_per_sec, 1),
                             n_valid_samples=int(metrics["n_valid_samples"]))
-            log(f"iter {iteration:06d} psnr={psnr:.2f} "
+            log(f"iter {last_it:06d} psnr={psnr:.2f} "
                 f"loss={float(metrics['loss']):.5f} "
                 f"rays/s={rays_per_sec:.0f}")
 
-        # schedule events (train.py:806-813)
-        new_nmf, changed = nmf.check_schedule(iteration + 1, 1)
+        # schedule events (train.py:806-813); leaf-value decays inside the
+        # covered range apply at the chunk end (drift < chain_max iters)
+        changed = False
+        for j in range(iteration, last_it + 1):
+            nmf, ch = nmf.check_schedule(j + 1, 1)
+            changed = changed or ch
         if changed:
-            nmf = new_nmf
             tx, opt_state, step_fn = init_optimizer(nmf)
-            l1_rest_at = iteration + 1
+            chain_fn = None  # shapes may have changed
+            l1_rest_at = last_it + 1
             cur_bs = batch_size  # reset ray counters (train.py:807-813)
-            log(f"iter {iteration}: schedule event -> optimizer reinit; "
+            log(f"iter {last_it}: schedule event -> optimizer reinit; "
                 f"grid={nmf.rf.grid_size}")
-        else:
-            nmf = new_nmf
 
-        if (cfg.get("vis_every", 0) > 0 and cfg.get("N_vis", 0) != 0
-                and iteration % cfg["vis_every"] == cfg["vis_every"] - 1):
+        if (vis_every > 0 and cfg.get("N_vis", 0) != 0
+                and (last_it + 1) % vis_every == 0):
             key, ek = jax.random.split(key)
             res = eval_lib.evaluate(
                 nmf, test_ds, ek, save_dir=str(logfolder / "imgs_vis"),
-                n_vis=cfg.get("N_vis", 5), prefix=f"{iteration:06d}_",
+                n_vis=cfg.get("N_vis", 5), prefix=f"{last_it:06d}_",
                 compute_extra_metrics=False)
-            log(f"iter {iteration} test: {res}")
+            log(f"iter {last_it} test: {res}")
             if cfg.get("save_often"):
-                ckpt_lib.save(logfolder / f"{expname}_{iteration}.th",
+                ckpt_lib.save(logfolder / f"{expname}_{last_it}.th",
                               nmf, cfg)
+        iteration = last_it + 1
 
     ckpt_lib.save(logfolder / f"{expname}.th", nmf, cfg)
 

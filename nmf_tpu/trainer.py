@@ -294,19 +294,13 @@ def pack_step_scalars(iteration: int, bg_col, weights: LossWeights):
     """
     vals = [float(iteration), *np.asarray(bg_col, np.float32).reshape(3)]
     vals += [float(getattr(weights, f)) for f in LossWeights._fields[:-1]]
-    return jnp.asarray(np.asarray(vals, np.float32))
+    # host array: callers stack chains of these before one device upload
+    return np.asarray(vals, np.float32)
 
 
-def make_device_train_step(tx, base_key, hdr=False, use_gt_normals=False,
-                           donate=True, ndc_ray=False, charbonier=False,
-                           charbonier_eps=1e-3):
-    """Device-resident train step: the whole ray/rgb store lives on device
-    (the reference moves its store to the GPU too, train.py:333-334) and the
-    batch gather + RGBA background blend + PRNG fold happen on-chip. Per
-    step the host uploads only the permutation ids and one packed scalar
-    vector (see pack_step_scalars)."""
-
-    def step(nmf: NMF, opt_state, store_rays, store_rgba, store_norms, ids,
+def _device_step_body(tx, base_key, hdr, use_gt_normals, ndc_ray,
+                      charbonier, charbonier_eps):
+    def body(nmf: NMF, opt_state, store_rays, store_rgba, store_norms, ids,
              scalars):
         key = jax.random.fold_in(base_key, scalars[0].astype(jnp.int32))
         bg_col = scalars[1:4]
@@ -337,7 +331,50 @@ def make_device_train_step(tx, base_key, hdr=False, use_gt_normals=False,
             opt_state)
         return new_nmf, new_opt_state, metrics
 
+    return body
+
+
+def make_device_train_step(tx, base_key, hdr=False, use_gt_normals=False,
+                           donate=True, ndc_ray=False, charbonier=False,
+                           charbonier_eps=1e-3):
+    """Device-resident train step: the whole ray/rgb store lives on device
+    (the reference moves its store to the GPU too, train.py:333-334) and the
+    batch gather + RGBA background blend + PRNG fold happen on-chip. Per
+    step the host uploads only the permutation ids and one packed scalar
+    vector (see pack_step_scalars)."""
+    step = _device_step_body(tx, base_key, hdr, use_gt_normals, ndc_ray,
+                             charbonier, charbonier_eps)
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
+def make_chained_device_train_step(tx, base_key, n_chain, hdr=False,
+                                   use_gt_normals=False, donate=True,
+                                   ndc_ray=False, charbonier=False,
+                                   charbonier_eps=1e-3):
+    """lax.scan over n_chain device steps per dispatch: the remaining
+    per-iteration host round trips (ids + scalars uploads, dispatch RPC)
+    amortize 1/n_chain. ids: (n_chain, B); scalars: (n_chain, S). The
+    per-step keys/weights come from the scalar rows, so the trajectory is
+    identical to n_chain unchained steps. Returns the LAST step's metrics."""
+    body = _device_step_body(tx, base_key, hdr, use_gt_normals, ndc_ray,
+                             charbonier, charbonier_eps)
+
+    def chain(nmf: NMF, opt_state, store_rays, store_rgba, store_norms,
+              ids, scalars):
+        def scan_body(carry, inp):
+            nmf, opt_state = carry
+            b_ids, b_scalars = inp
+            new_nmf, new_opt, metrics = body(
+                nmf, opt_state, store_rays, store_rgba, store_norms, b_ids,
+                b_scalars)
+            return (new_nmf, new_opt), metrics
+
+        (nmf, opt_state), metrics = jax.lax.scan(
+            scan_body, (nmf, opt_state), (ids, scalars))
+        last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        return nmf, opt_state, last
+
+    return jax.jit(chain, donate_argnums=(0, 1) if donate else ())
 
 
 class SimpleSampler:

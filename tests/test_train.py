@@ -526,3 +526,52 @@ class TestDeviceStep:
             jnp.asarray(bg))
         np.testing.assert_allclose(float(metrics["loss"]), float(loss_ref),
                                    rtol=1e-5)
+
+
+class TestChainedStep:
+    def test_chain_matches_unchained_trajectory(self):
+        """lax.scan-chained steps must reproduce the unchained trajectory
+        exactly (same per-step keys/weights via the scalar rows)."""
+        ds = make_sphere_dataset(n_views=2, H=16, W=16)
+        key = jax.random.PRNGKey(6)
+        base_key = jax.random.PRNGKey(13)
+        sr = jnp.asarray(ds["all_rays"])
+        sg = jnp.asarray(ds["all_rgbs"])
+        w = trainer.LossWeights()
+        rng = np.random.default_rng(0)
+        ids8 = rng.integers(0, sr.shape[0], size=(8, 64)).astype(np.int32)
+        scal8 = np.stack([trainer.pack_step_scalars(i, np.ones(3), w)
+                          for i in range(8)])
+
+        def run_unchained():
+            nmf = build_small(key, ds, grid=16, k_spr=16)
+            tx = trainer.make_optimizer(nmf, trainer.OptimConfig(n_iters=10))
+            opt = tx.init(nmf)
+            step = trainer.make_device_train_step(tx, base_key, donate=False)
+            for i in range(8):
+                nmf, opt, m = step(nmf, opt, sr, sg, None,
+                                   jnp.asarray(ids8[i]),
+                                   jnp.asarray(scal8[i]))
+            return nmf, m
+
+        def run_chained():
+            nmf = build_small(key, ds, grid=16, k_spr=16)
+            tx = trainer.make_optimizer(nmf, trainer.OptimConfig(n_iters=10))
+            opt = tx.init(nmf)
+            chain = trainer.make_chained_device_train_step(
+                tx, base_key, 4, donate=False)
+            for lo in (0, 4):
+                nmf, opt, m = chain(nmf, opt, sr, sg, None,
+                                    jnp.asarray(ids8[lo:lo + 4]),
+                                    jnp.asarray(scal8[lo:lo + 4]))
+            return nmf, m
+
+        nmf_a, m_a = run_unchained()
+        nmf_b, m_b = run_chained()
+        np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                                   rtol=1e-6)
+        la = jax.tree_util.tree_leaves(nmf_a)
+        lb = jax.tree_util.tree_leaves(nmf_b)
+        for a, b in zip(la, lb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
