@@ -1,1 +1,2 @@
-from .mesh import make_mesh, shard_batch, replicate, make_parallel_train_step
+from .mesh import (make_mesh, shard_batch, replicate,
+                   make_parallel_train_step, make_parallel_render)

@@ -82,3 +82,24 @@ def make_parallel_train_step(tx, mesh: Mesh, hdr=False, use_gt_normals=False,
         out_shardings=(repl, repl, repl),
         donate_argnums=(0, 1) if donate else (),
     )
+
+
+def make_parallel_render(mesh: Mesh, bg_col=(1.0, 1.0, 1.0),
+                         draw_debug=False):
+    """Sharded eval render: rays split over the mesh, model replicated.
+    Returns a jitted fn(nmf, rays, key, bg_cache) -> images dict with every
+    map sharded over its leading (ray) axis; feed it to
+    eval.render_rays_chunked via render_fn= to spread an image render
+    across a slice."""
+    from ..render import render
+
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("rays"))
+
+    def fn(nmf, rays, key, bg_cache):
+        ims, _ = render(nmf, rays, key, is_train=False, bg_col=bg_col,
+                        draw_debug=draw_debug, bg_cache=bg_cache)
+        return ims
+
+    return jax.jit(fn, in_shardings=(repl, shard, repl, repl),
+                   out_shardings=shard)

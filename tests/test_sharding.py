@@ -60,3 +60,36 @@ class TestMesh:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestParallelRender:
+    def test_sharded_eval_matches_single(self):
+        """Sharded eval render over the 8-device mesh equals the
+        single-device render."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from nmf_tpu.data.synthetic import make_sphere_dataset
+        from nmf_tpu.parallel import (make_mesh, make_parallel_render,
+                                      replicate, shard_batch)
+        from nmf_tpu.render import render
+        import sys
+        from pathlib import Path
+        sys.path.insert(0, str(Path(__file__).parent))
+        from test_train import build_small
+
+        ds = make_sphere_dataset(n_views=1, H=16, W=16)
+        nmf = build_small(jax.random.PRNGKey(0), ds, grid=16, k_spr=16)
+        rays = jnp.asarray(ds["all_rays"][:128])
+        key = jax.random.PRNGKey(1)
+
+        single, _ = render(nmf, rays, key, is_train=False)
+
+        mesh = make_mesh(8)
+        fn = make_parallel_render(mesh)
+        ims = fn(replicate(mesh, nmf), shard_batch(mesh, rays),
+                 replicate(mesh, key), None)
+        np.testing.assert_allclose(np.asarray(ims["rgb_map"]),
+                                   np.asarray(single["rgb_map"]),
+                                   atol=1e-5)
