@@ -68,33 +68,33 @@ def reconstruction_dual(cfg, log=print):
         n_iters=n_iters,
         lr_delay_steps=int(params.get("lr_delay_steps", 100)))
 
+    key, base_key = jax.random.split(key)
+
     def init_opt(nmf):
         tx = trainer.make_optimizer(nmf, opt_cfg)
-        return tx, tx.init(nmf), trainer.make_train_step(tx, donate=False)
+        return tx, tx.init(nmf), trainer.make_device_train_step(
+            tx, base_key, donate=False)
 
     tx, opt_state, step_fn = init_opt(nmf)
     samplers = [trainer.SimpleSampler(d["all_rays"].shape[0], batch_size)
                 for d in datasets]
+    # device-resident stores per dataset (see trainer.make_device_train_step)
+    stores = [(jax.device_put(d["all_rays"]), jax.device_put(d["all_rgbs"]))
+              for d in datasets]
     rng = np.random.default_rng(0)
 
     for iteration in range(n_iters):
         di = iteration % len(datasets)
         if nmf.bg_module is not None and isinstance(nmf.bg_module, MultiBG):
             nmf = nmf.replace(bg_module=nmf.bg_module.select(di))
-        ds = datasets[di]
         ids = samplers[di].nextids()
-        rays = jnp.asarray(ds["all_rays"][ids])
-        rgba = ds["all_rgbs"][ids]
         bg_col = trainer.bg_col_for(params.get("bg_col", "white"), rng)
-        if rgba.shape[-1] == 4:
-            rgb_gt = rgba[:, :3] * rgba[:, 3:] + (1 - rgba[:, 3:]) * bg_col
-        else:
-            rgb_gt = rgba
         weights = make_loss_weights(params, iteration)
-        key, sk = jax.random.split(key)
         nmf, opt_state, metrics = step_fn(
-            nmf, opt_state, rays, jnp.asarray(rgb_gt), jnp.asarray(bg_col),
-            sk, weights)
+            nmf, opt_state, stores[di][0], stores[di][1], None,
+            jnp.asarray(ids),
+            jnp.asarray(trainer.pack_step_scalars(iteration, bg_col,
+                                                  weights)))
         if iteration % cfg.get("progress_refresh_rate", 50) == 0:
             mse = float(metrics["photo_mse"])
             log(f"iter {iteration:06d} ds{di} "
