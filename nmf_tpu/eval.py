@@ -87,9 +87,14 @@ def regression_aligned_psnr(pred, gt):
     return float(-10 * np.log10(np.mean(err ** 2) + 1e-12))
 
 
-def calc_envmap_psnr(bg_module, gt_im, fH=500):
+def calc_envmap_metrics(bg_module, gt_im, fH=500):
     """Recovered envmap vs GT background panorama
-    (integral_equirect.py:290-322)."""
+    (integral_equirect.py:290-322), plus the `_top` metric family the
+    reference's tabularize.ipynb aggregates (envmap_psnr_top /
+    envmap_smape_top / envmap_ssim_top — the writer script is not in the
+    reference repo; "top" is the upper half of the panorama, i.e. the
+    hemisphere reflections actually observe). All computed on the
+    regression-aligned pair."""
     act = np.asarray(bg_module.activation_fn(bg_module.bg_mat))
     pred = np.transpose(act, (1, 2, 0))
     gt = np.asarray(gt_im, dtype=np.float32)
@@ -111,7 +116,35 @@ def calc_envmap_psnr(bg_module, gt_im, fH=500):
 
     pred = resize(pred, (fH, 2 * fH))
     gt = resize(gt[..., :3], (fH, 2 * fH))
-    return regression_aligned_psnr(pred, gt)
+
+    # per-channel regression alignment (renderer.py:338-348), shared by
+    # every metric below
+    X = pred.reshape(-1, 3)
+    Y = gt.reshape(-1, 3)
+    A = np.concatenate([X, np.ones((X.shape[0], 1))], axis=1)
+    coef, *_ = np.linalg.lstsq(A, Y, rcond=None)
+    aligned = (A @ coef).reshape(gt.shape).astype(np.float32)
+
+    def _metrics(p, g):
+        err = np.clip(p - g, -1, 1)
+        psnr = float(-10 * np.log10(np.mean(err ** 2) + 1e-12))
+        smape = float(np.mean(2.0 * np.abs(p - g)
+                              / (np.abs(p) + np.abs(g) + 1e-6)))
+        from .utils import rgb_ssim
+
+        ssim = float(rgb_ssim(np.clip(p, 0, 1), np.clip(g, 0, 1), 1.0))
+        return psnr, smape, ssim
+
+    top = slice(0, gt.shape[0] // 2)
+    psnr_top, smape_top, ssim_top = _metrics(aligned[top], gt[top])
+    psnr_full, _, _ = _metrics(aligned, gt)
+    return {"envmap_psnr_top": psnr_top, "envmap_smape_top": smape_top,
+            "envmap_ssim_top": ssim_top, "envmap_psnr": psnr_full}
+
+
+def calc_envmap_psnr(bg_module, gt_im, fH=500):
+    """Back-compat wrapper: full-panorama regression-aligned PSNR."""
+    return calc_envmap_metrics(bg_module, gt_im, fH)["envmap_psnr"]
 
 
 def _maybe_lpips():
@@ -291,7 +324,7 @@ def evaluate(nmf: NMF, dataset, key, save_dir: Optional[str] = None,
 
     summary = {k: float(np.mean(v)) for k, v in stats.items() if len(v)}
     if gt_bg is not None and nmf.bg_module is not None:
-        summary["envmap_psnr_top"] = calc_envmap_psnr(nmf.bg_module, gt_bg)
+        summary.update(calc_envmap_metrics(nmf.bg_module, gt_bg))
     if save_dir is not None:
         import yaml
 

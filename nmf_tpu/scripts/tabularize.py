@@ -16,7 +16,8 @@ import sys
 from pathlib import Path
 
 DEFAULT_KEYS = ["psnr", "ssim", "l_alex", "l_vgg", "norm_err",
-                "envmap_psnr", "tint_psnr"]
+                "envmap_psnr", "envmap_psnr_top", "envmap_smape_top",
+                "envmap_ssim_top", "tint_psnr"]
 
 
 def _load_yaml(path: Path):

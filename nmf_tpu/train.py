@@ -355,10 +355,7 @@ def _enable_compile_cache():
         pass
 
 
-def main(argv=None):
-    _enable_compile_cache()
-    argv = argv if argv is not None else sys.argv[1:]
-    cfg = config_lib.compose(argv)
+def _dispatch(cfg):
     if cfg.get("log_rays"):
         # dump rays.pkl (+ rays.html when plotly exists) with eval artifacts
         from .modules.logger import LOGGER
@@ -372,6 +369,58 @@ def main(argv=None):
 
         return reconstruction_dual(cfg)
     return reconstruction(cfg)
+
+
+def _expand_multirun(argv):
+    """Hydra-style sweep expansion for `-m` (reference README.md:10:
+    `train.py -m dataset=ficus,drums,... model=...`): every override whose
+    value is a bare comma list (no `[`: bracketed values are list-typed
+    config values, not sweeps) is swept; jobs are the cartesian product.
+    Returns (job_override_lists, swept_key_value_dicts)."""
+    import itertools
+
+    keys, choices, fixed = [], [], []
+    for ov in argv:
+        if "=" in ov:
+            k, v = ov.split("=", 1)
+            if "," in v and not v.strip().startswith("["):
+                keys.append(k)
+                choices.append(v.split(","))
+                continue
+        fixed.append(ov)
+    jobs = []
+    for combo in itertools.product(*choices):
+        swept = dict(zip(keys, combo))
+        jobs.append((fixed + [f"{k}={v}" for k, v in swept.items()], swept))
+    return jobs
+
+
+def multirun(argv):
+    """Sequential sweep driver. Each job's log dir is distinct: the scene
+    name is already part of the folder (f"{scene}_{expname}"), and swept
+    non-dataset keys are suffixed onto expname. Stops on the first failing
+    job, like hydra's default."""
+    jobs = _expand_multirun(argv)
+    results = []
+    for i, (job_argv, swept) in enumerate(jobs):
+        cfg = config_lib.compose(job_argv)
+        suffix = "".join(
+            f"-{k.rsplit('.', 1)[-1]}{v}" for k, v in swept.items()
+            if k != "dataset")
+        if suffix:
+            cfg["expname"] = f"{cfg.get('expname', 'run')}{suffix}"
+        print(f"[multirun {i + 1}/{len(jobs)}] "
+              + " ".join(f"{k}={v}" for k, v in swept.items()))
+        results.append(_dispatch(cfg))
+    return results
+
+
+def main(argv=None):
+    _enable_compile_cache()
+    argv = argv if argv is not None else sys.argv[1:]
+    if "-m" in argv or "--multirun" in argv:
+        return multirun([a for a in argv if a not in ("-m", "--multirun")])
+    return _dispatch(config_lib.compose(argv))
 
 
 if __name__ == "__main__":

@@ -127,3 +127,37 @@ class TestIntegralEquirect:
     def test_tv_loss(self):
         bg = make_bg(res=16)
         assert float(bg.tv_loss()) >= 0
+
+
+class TestEnvmapMetrics:
+    def test_perfect_recovery_scores_high(self):
+        # GT pano generated FROM the bg_mat through the eval transform's
+        # inverse must score near-perfect psnr/ssim and ~zero smape
+        from nmf_tpu.eval import calc_envmap_metrics
+
+        bg = make_bg(res=32, init_val=0.0)
+        h, w = bg.hw()
+        rng = np.random.default_rng(3)
+        mat = rng.uniform(0.1, 0.9, size=(3, h, w)).astype(np.float32)
+        bg = bg.replace(bg_mat=jnp.asarray(mat))
+        pano = np.transpose(mat, (1, 2, 0))
+        # invert eval's flip+roll: gt_im = roll(pano, w//2)[:, ::-1]
+        gt_im = np.roll(pano, w // 2, axis=1)[:, ::-1].copy()
+        m = calc_envmap_metrics(bg, gt_im, fH=h)
+        assert m["envmap_psnr_top"] > 30
+        assert m["envmap_psnr"] > 30
+        assert m["envmap_smape_top"] < 0.1
+        assert m["envmap_ssim_top"] > 0.9
+
+    def test_wrong_map_scores_low(self):
+        from nmf_tpu.eval import calc_envmap_metrics
+
+        bg = make_bg(res=32, init_val=0.0)
+        h, w = bg.hw()
+        rng = np.random.default_rng(4)
+        bg = bg.replace(bg_mat=jnp.asarray(
+            rng.uniform(0, 1, size=(3, h, w)).astype(np.float32)))
+        gt_im = rng.uniform(0, 1, size=(h, 2 * h, 3)).astype(np.float32)
+        m = calc_envmap_metrics(bg, gt_im, fH=h)
+        assert m["envmap_psnr_top"] < 25
+        assert m["envmap_smape_top"] > 0.1

@@ -143,6 +143,29 @@ class TestConfig:
         cfg = config_lib.compose([])
         assert isinstance(cfg["model"]["params"]["pred_lambda"], float)
 
+    def test_multirun_expansion(self):
+        # hydra `-m dataset=a,b model.x=1,2` -> cartesian product; bracketed
+        # list values are config lists, not sweeps (reference README.md:10)
+        from nmf_tpu.train import _expand_multirun
+
+        jobs = _expand_multirun([
+            "dataset=lego,ficus", "model.params.n_iters=100,200",
+            "model.params.update_list=[1,2]", "expname=sweep"])
+        assert len(jobs) == 4
+        argvs = [set(a) for a, _ in jobs]
+        assert {"dataset=lego", "model.params.n_iters=200",
+                "model.params.update_list=[1,2]",
+                "expname=sweep"} in argvs
+        swepts = [s for _, s in jobs]
+        assert {"dataset": "ficus",
+                "model.params.n_iters": "100"} in swepts
+
+    def test_multirun_no_sweep_is_single_job(self):
+        from nmf_tpu.train import _expand_multirun
+
+        jobs = _expand_multirun(["dataset=lego"])
+        assert len(jobs) == 1 and jobs[0][1] == {}
+
 
 class TestFusedOptimizer:
     def test_fused_matches_multi_transform(self):
@@ -575,3 +598,39 @@ class TestChainedStep:
         for a, b in zip(la, lb):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-6)
+
+
+class TestReeval:
+    def test_reeval_from_dumped_images(self, tmp_path):
+        # write GT itself as the "prediction" dump -> reeval must report
+        # near-lossless psnr and tiny norm_err (round-trips the png
+        # encodings of eval._save_map)
+        import imageio.v2 as imageio
+        import yaml
+
+        from nmf_tpu.data.blender import load_dataset
+        from nmf_tpu.scripts.reeval import reeval_run
+
+        dcfg = {"dataset_name": "synthetic_shiny", "image_size": 32,
+                "n_views": 4, "scenedir": "shiny"}
+        run = tmp_path / "run"
+        (run / "imgs_test_all" / "world_normal").mkdir(parents=True)
+        with open(run / "config.yaml", "w") as f:
+            yaml.safe_dump({"dataset": dcfg, "datadir": "/unused"}, f)
+        ds = load_dataset(dcfg, "/unused", split="test")
+        W, H = ds["img_wh"]
+        n_px = H * W
+        for i in range(4):
+            gt = np.asarray(ds["all_rgbs"][i * n_px:(i + 1) * n_px]
+                            ).reshape(H, W, -1)
+            gt = gt[..., :3] * gt[..., 3:] + (1 - gt[..., 3:])
+            imageio.imwrite(run / "imgs_test_all" / f"{i:03d}.png",
+                            (np.clip(gt, 0, 1) * 255).astype(np.uint8))
+            gtn = np.asarray(ds["all_norms"][i * n_px:(i + 1) * n_px]
+                             ).reshape(H, W, 3)
+            imageio.imwrite(
+                run / "imgs_test_all" / "world_normal" / f"{i:03d}.png",
+                (np.clip((gtn + 1) / 2, 0, 1) * 255).astype(np.uint8))
+        out = reeval_run(run, "/unused", log=lambda *a: None)
+        assert out["psnr"] > 45
+        assert out["norm_err"] < 2.0
