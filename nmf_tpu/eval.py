@@ -203,8 +203,10 @@ def _save_map(save_dir, sub, idx, img, prefix=""):
 def evaluate(nmf: NMF, dataset, key, save_dir: Optional[str] = None,
              n_vis: int = -1, chunk: int = 4096, prefix: str = "",
              compute_extra_metrics: bool = True, gt_bg=None,
-             save_all_maps: bool = True):
-    """Per-image metrics + full artifact dump (renderer.py:194-534)."""
+             save_all_maps: bool = True, mesh=None):
+    """Per-image metrics + full artifact dump (renderer.py:194-534).
+    With ``mesh``, each chunk's rays shard over the device mesh (model
+    replicated) so eval renders spread across a slice."""
     W, H = dataset["img_wh"]
     n_px = H * W
     n_images = dataset["all_rays"].shape[0] // n_px
@@ -218,10 +220,17 @@ def evaluate(nmf: NMF, dataset, key, save_dir: Optional[str] = None,
     if save_dir is not None:
         os.makedirs(save_dir, exist_ok=True)
 
-    render_fn = jax.jit(
-        lambda nmf, r, k, c: render(nmf, r, k, is_train=False,
-                                    bg_col=(1.0, 1.0, 1.0), draw_debug=True,
-                                    bg_cache=c)[0])
+    if mesh is not None:
+        from .parallel import make_parallel_render
+
+        n_dev = mesh.devices.size
+        chunk = int(-(-chunk // n_dev) * n_dev)  # shardable chunk
+        render_fn = make_parallel_render(mesh, draw_debug=True)
+    else:
+        render_fn = jax.jit(
+            lambda nmf, r, k, c: render(nmf, r, k, is_train=False,
+                                        bg_col=(1.0, 1.0, 1.0),
+                                        draw_debug=True, bg_cache=c)[0])
     vid = {"rgb": [], "depth": [], "normal": []}
     for img_i in idxs:
         rays = dataset["all_rays"][img_i * n_px:(img_i + 1) * n_px]

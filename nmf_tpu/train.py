@@ -105,10 +105,28 @@ def reconstruction(cfg, log=print):
     # vector, instead of ray/rgb/weight uploads whose tunnel round-trips
     # dominated the step time
     has_norms = train_ds.get("all_norms") is not None
-    store_rays = jax.device_put(train_ds["all_rays"])
-    store_rgba = jax.device_put(train_ds["all_rgbs"])
-    store_norms = (jax.device_put(train_ds["all_norms"]) if has_norms
-                   else None)
+
+    # ray-DP over every visible chip (mesh_devices=1 forces single-device;
+    # mesh_devices=N caps the mesh). Stores and params replicate, the ids
+    # batch axis shards, and XLA all-reduces gradients over ICI.
+    n_mesh = int(cfg.get("mesh_devices", 0) or 0)
+    if n_mesh <= 0:
+        n_mesh = jax.device_count()
+    mesh = None
+    if n_mesh > 1:
+        from .parallel import make_mesh, replicate
+
+        mesh = make_mesh(min(n_mesh, jax.device_count()))
+        log(f"ray-DP mesh over {mesh.devices.size} devices")
+        store_rays = replicate(mesh, jnp.asarray(train_ds["all_rays"]))
+        store_rgba = replicate(mesh, jnp.asarray(train_ds["all_rgbs"]))
+        store_norms = (replicate(mesh, jnp.asarray(train_ds["all_norms"]))
+                       if has_norms else None)
+    else:
+        store_rays = jax.device_put(train_ds["all_rays"])
+        store_rgba = jax.device_put(train_ds["all_rgbs"])
+        store_norms = (jax.device_put(train_ds["all_norms"]) if has_norms
+                       else None)
     key, base_key = jax.random.split(key)
 
     def init_optimizer(nmf):
@@ -119,7 +137,8 @@ def reconstruction(cfg, log=print):
             donate=cfg.get("donate_buffers", True),
             ndc_ray=bool(cfg["dataset"].get("ndc_ray", False)),
             charbonier=bool(params.get("charbonier_loss", False)),
-            charbonier_eps=float(params.get("charbonier_eps", 1e-3)))
+            charbonier_eps=float(params.get("charbonier_eps", 1e-3)),
+            mesh=mesh)
 
     tx, opt_state, step_fn = init_optimizer(nmf)
 
@@ -146,7 +165,13 @@ def reconstruction(cfg, log=print):
     min_bs = int(params.get("min_batch_size", batch_size))
     max_bs = int(params.get("max_batch_size", batch_size))
     adapt_bs = bool(target_ns) and max_bs > min_bs
-    cur_bs = batch_size
+
+    def fit_bs(b):
+        """Round the batch up to a mesh-divisible size."""
+        n = mesh.devices.size if mesh is not None else 1
+        return int(-(-int(b) // n) * n)
+
+    cur_bs = fit_bs(batch_size)
 
     # chained dispatch: the harness amortizes the remaining per-iteration
     # host round trips over chain_steps scanned steps. Chains end at every
@@ -198,7 +223,8 @@ def reconstruction(cfg, log=print):
                 donate=cfg.get("donate_buffers", True),
                 ndc_ray=bool(cfg["dataset"].get("ndc_ray", False)),
                 charbonier=bool(params.get("charbonier_loss", False)),
-                charbonier_eps=float(params.get("charbonier_eps", 1e-3)))
+                charbonier_eps=float(params.get("charbonier_eps", 1e-3)),
+                mesh=mesh)
         return chain_fn
 
     ori_mult, pred_mult = 1.0, 1.0
@@ -239,7 +265,7 @@ def reconstruction(cfg, log=print):
             spr = max(ns / cur_bs, 1e-3)
             bucket = 2 ** int(math.floor(math.log2(
                 max(float(target_ns) / spr, 1.0))))
-            cur_bs = int(np.clip(bucket, min_bs, max_bs))
+            cur_bs = fit_bs(np.clip(bucket, min_bs, max_bs))
 
         if (iteration // refresh) != ((last_it + 1) // refresh) \
                 or iteration == 0:
@@ -266,7 +292,7 @@ def reconstruction(cfg, log=print):
             tx, opt_state, step_fn = init_optimizer(nmf)
             chain_fn = None  # shapes may have changed
             l1_rest_at = last_it + 1
-            cur_bs = batch_size  # reset ray counters (train.py:807-813)
+            cur_bs = fit_bs(batch_size)  # reset ray counters (train.py:807-813)
             log(f"iter {last_it}: schedule event -> optimizer reinit; "
                 f"grid={nmf.rf.grid_size}")
 
@@ -276,7 +302,7 @@ def reconstruction(cfg, log=print):
             res = eval_lib.evaluate(
                 nmf, test_ds, ek, save_dir=str(logfolder / "imgs_vis"),
                 n_vis=cfg.get("N_vis", 5), prefix=f"{last_it:06d}_",
-                compute_extra_metrics=False)
+                compute_extra_metrics=False, mesh=mesh)
             log(f"iter {last_it} test: {res}")
             if cfg.get("save_often"):
                 ckpt_lib.save(logfolder / f"{expname}_{last_it}.th",
@@ -304,7 +330,8 @@ def reconstruction(cfg, log=print):
             gt_bg = test_ds["gt_bg_im"]  # procedural scenes carry their GT
         res = eval_lib.evaluate(nmf, test_ds, ek,
                                 save_dir=str(logfolder / "imgs_test_all"),
-                                n_vis=cfg.get("N_vis", -1), gt_bg=gt_bg)
+                                n_vis=cfg.get("N_vis", -1), gt_bg=gt_bg,
+                                mesh=mesh)
         log(f"final test: {res}")
     if cfg.get("render_path", False):
         key, pk = jax.random.split(key)
@@ -329,9 +356,15 @@ def render_test(cfg, log=print):
     expname = f"{cfg['dataset']['scenedir'].split('/')[-1]}_{cfg['expname']}"
     logfolder = Path(cfg.get("basedir", "./log")) / expname
     key = jax.random.PRNGKey(0)
+    n_mesh = int(cfg.get("mesh_devices", 0) or 0) or jax.device_count()
+    mesh = None
+    if n_mesh > 1:
+        from .parallel import make_mesh
+
+        mesh = make_mesh(min(n_mesh, jax.device_count()))
     res = eval_lib.evaluate(nmf, test_ds, key,
                             save_dir=str(logfolder / "imgs_render"),
-                            n_vis=cfg.get("N_vis", -1))
+                            n_vis=cfg.get("N_vis", -1), mesh=mesh)
     log(f"render_test: {res}")
     return nmf, res
 

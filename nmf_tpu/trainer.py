@@ -334,23 +334,44 @@ def _device_step_body(tx, base_key, hdr, use_gt_normals, ndc_ray,
     return body
 
 
+def _device_step_shardings(mesh, chained):
+    """Ray-DP shardings for the device-resident step: model/opt/stores
+    replicated, the ids batch axis split over the mesh ``rays`` axis. The
+    on-chip batch gather from the replicated store then yields a sharded
+    batch, and GSPMD inserts the gradient all-reduce over ICI (same layout
+    as parallel/mesh.make_parallel_train_step, but for the store+ids
+    calling convention the CLI uses)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    ids_sh = NamedSharding(mesh, P(None, "rays") if chained else P("rays"))
+    in_sh = (repl, repl, repl, repl, repl, ids_sh, repl)
+    out_sh = (repl, repl, repl)
+    return in_sh, out_sh
+
+
 def make_device_train_step(tx, base_key, hdr=False, use_gt_normals=False,
                            donate=True, ndc_ray=False, charbonier=False,
-                           charbonier_eps=1e-3):
+                           charbonier_eps=1e-3, mesh=None):
     """Device-resident train step: the whole ray/rgb store lives on device
     (the reference moves its store to the GPU too, train.py:333-334) and the
     batch gather + RGBA background blend + PRNG fold happen on-chip. Per
     step the host uploads only the permutation ids and one packed scalar
-    vector (see pack_step_scalars)."""
+    vector (see pack_step_scalars). With ``mesh``, the batch is ray-DP
+    sharded across devices (see _device_step_shardings)."""
     step = _device_step_body(tx, base_key, hdr, use_gt_normals, ndc_ray,
                              charbonier, charbonier_eps)
-    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+    kw = {}
+    if mesh is not None:
+        kw["in_shardings"], kw["out_shardings"] = _device_step_shardings(
+            mesh, chained=False)
+    return jax.jit(step, donate_argnums=(0, 1) if donate else (), **kw)
 
 
 def make_chained_device_train_step(tx, base_key, n_chain, hdr=False,
                                    use_gt_normals=False, donate=True,
                                    ndc_ray=False, charbonier=False,
-                                   charbonier_eps=1e-3):
+                                   charbonier_eps=1e-3, mesh=None):
     """lax.scan over n_chain device steps per dispatch: the remaining
     per-iteration host round trips (ids + scalars uploads, dispatch RPC)
     amortize 1/n_chain. ids: (n_chain, B); scalars: (n_chain, S). The
@@ -374,7 +395,11 @@ def make_chained_device_train_step(tx, base_key, n_chain, hdr=False,
         last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
         return nmf, opt_state, last
 
-    return jax.jit(chain, donate_argnums=(0, 1) if donate else ())
+    kw = {}
+    if mesh is not None:
+        kw["in_shardings"], kw["out_shardings"] = _device_step_shardings(
+            mesh, chained=True)
+    return jax.jit(chain, donate_argnums=(0, 1) if donate else (), **kw)
 
 
 class SimpleSampler:

@@ -93,3 +93,54 @@ class TestParallelRender:
         np.testing.assert_allclose(np.asarray(ims["rgb_map"]),
                                    np.asarray(single["rgb_map"]),
                                    atol=1e-5)
+
+
+class TestMeshCLI:
+    """The train CLI's device-resident path over the mesh: with >1 device
+    visible, reconstruction() shards the ids batch axis (ray-DP) and the
+    trajectory must match the mesh_devices=1 run (same keys, same data;
+    only the gradient-reduction order differs)."""
+
+    def _cfg(self, tmp_path, extra=()):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).parent.parent))
+        from nmf_tpu import config as config_lib
+
+        return config_lib.compose([
+            "model=tensorf", "dataset=synthetic_sphere",
+            "dataset.image_size=16", "dataset.n_views=2",
+            "model.params.n_iters=6", "model.params.batch_size=64",
+            "field.N_voxel_init=4096", "field.N_voxel_final=4096",
+            "field.upsamp_list=[]", "model.arch.sampler.update_list=[]",
+            "model.arch.max_samples_per_ray=24",
+            "vis_every=0", "N_vis=0", "render_test=False",
+            f"basedir={tmp_path}", "chain_steps=3",
+            "progress_refresh_rate=3", *extra])
+
+    def test_mesh_cli_matches_single_device(self, tmp_path):
+        import numpy as np
+
+        from nmf_tpu.train import reconstruction
+
+        r1 = reconstruction(
+            self._cfg(tmp_path / "a", ["expname=mesh8", "render_test=True",
+                                       "N_vis=1"]),
+            log=lambda *a, **k: None)
+        r2 = reconstruction(
+            self._cfg(tmp_path / "b", ["expname=one", "mesh_devices=1"]),
+            log=lambda *a, **k: None)
+        import json
+
+        m1 = [json.loads(l) for l in
+              (tmp_path / "a" / "synthetic_sphere_mesh8" / "metrics.jsonl"
+               ).read_text().splitlines() if "psnr" in l and "step" in l]
+        m2 = [json.loads(l) for l in
+              (tmp_path / "b" / "synthetic_sphere_one" / "metrics.jsonl"
+               ).read_text().splitlines() if "psnr" in l and "step" in l]
+        assert len(m1) == len(m2) and len(m1) >= 2
+        for a, b in zip(m1, m2):
+            assert np.isfinite(a["psnr"])
+            # same trajectory up to reduction-order float noise
+            assert abs(a["psnr"] - b["psnr"]) < 0.15, (a, b)
