@@ -312,6 +312,8 @@ def build_sampler(cfg, aabb, near_far):
             okw["multiplier"] = int(kw["multiplier"])
         if "shrink_iters" in kw:
             okw["shrink_iters"] = tuple(kw["shrink_iters"])
+        if "test_multiplier" in kw:
+            okw["test_multiplier"] = float(kw["test_multiplier"])
         return OccGridSampler(
             density_grid=jnp.zeros((reso,) * 3, jnp.float32),
             aabb=jnp.asarray(aabb), grid_reso=reso,

@@ -55,6 +55,8 @@ class OccGridSampler:
     shrink_iters: Tuple[int, ...] = struct.field(pytree_node=False,
                                                  default=())
     cumrand: bool = struct.field(pytree_node=False, default=False)
+    # finer march at eval time (reference nerf_acc.py:160 stepmul)
+    test_multiplier: float = struct.field(pytree_node=False, default=1.0)
 
     # ------------------------------------------------------------------
     def update(self, rf, init: bool = False):
@@ -159,6 +161,8 @@ class OccGridSampler:
                stepmul: float = 1.0, n_samples: int = -1,
                max_samples_per_ray: int = -1, focal: float = 1.0,
                ndc_ray: bool = False):
+        if not is_train:
+            stepmul *= self.test_multiplier
         if ndc_ray:
             return self.sample_ndc(rays, key=key, is_train=is_train,
                                    n_samples=n_samples,

@@ -171,7 +171,10 @@ def reconstruction(cfg, log=print):
         n = mesh.devices.size if mesh is not None else 1
         return int(-(-int(b) // n) * n)
 
-    cur_bs = fit_bs(batch_size)
+    # reference train.py:486/810: the adaptive controller starts from
+    # starting_batch_size and resets to it after schedule events
+    start_bs = int(params.get("starting_batch_size", batch_size))
+    cur_bs = fit_bs(start_bs)
 
     # chained dispatch: the harness amortizes the remaining per-iteration
     # host round trips over chain_steps scanned steps. Chains end at every
@@ -292,7 +295,7 @@ def reconstruction(cfg, log=print):
             tx, opt_state, step_fn = init_optimizer(nmf)
             chain_fn = None  # shapes may have changed
             l1_rest_at = last_it + 1
-            cur_bs = fit_bs(batch_size)  # reset ray counters (train.py:807-813)
+            cur_bs = fit_bs(start_bs)  # reset ray counters (train.py:807-813)
             log(f"iter {last_it}: schedule event -> optimizer reinit; "
                 f"grid={nmf.rf.grid_size}")
 

@@ -78,6 +78,23 @@ class TestOccGrid:
         out2 = s2.sample(rays, is_train=False, max_samples_per_ray=32)
         assert not bool(out2["valid"].any())
 
+    def test_test_multiplier_refines_eval_march(self):
+        # reference nerf_acc.py:160: eval marches test_multiplier x finer
+        from nmf_tpu.fields.tensorf import init_tensorvm_split
+        from nmf_tpu.samplers.occgrid import init_occgrid
+
+        rf = init_tensorvm_split(jax.random.PRNGKey(0), AABB,
+                                 grid_size=[16] * 3, N_voxel_init=16 ** 3,
+                                 N_voxel_final=16 ** 3, upsamp_list=())
+        s = init_occgrid(rf, grid_reso=32, near_far=(2.0, 6.0))
+        s = s.replace(test_multiplier=2.0)
+        rays = jnp.asarray([[0.0, 0.0, -4.0, 0.0, 0.0, 1.0]] * 2)
+        tr = s.sample(rays, key=jax.random.PRNGKey(0), is_train=True,
+                      max_samples_per_ray=32)
+        ev = s.sample(rays, is_train=False, max_samples_per_ray=32)
+        # eval step size halves -> candidate depths advance half as fast
+        assert float(ev["z_vals"][0, 8]) < float(tr["z_vals"][0, 8])
+
     def test_mark_untrained(self):
         from nmf_tpu.fields.tensorf import init_tensorvm_split
         from nmf_tpu.samplers.occgrid import init_occgrid
