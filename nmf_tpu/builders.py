@@ -128,7 +128,7 @@ def build_field(key, cfg, aabb, grid_size=None):
             "d_init_val", "app_init_val", "activation", "density_shift",
             "contract_space", "dbasis", "step_ratio", "density_res_multi",
             "smoothing", "numer_grad", "interp_mode", "lr", "lr_net",
-            "num_pretrain", "calibrate", "gather_dtype",
+            "num_pretrain", "calibrate", "gather_dtype", "scatter_kernel",
         }
         kw2 = {k: v for k, v in kw.items() if k in allowed}
         if "upsamp_list" in kw2:

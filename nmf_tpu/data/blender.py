@@ -229,7 +229,10 @@ def load_dataset(cfg_dataset, datadir, split="train", n_vis=-1):
 
         n_views = cfg_dataset.get("n_views", 24)
         size = cfg_dataset.get("image_size", 128)
-        ds = make_shiny_dataset(n_views=n_views, H=size, W=size, split=split)
+        ds = make_shiny_dataset(
+            n_views=n_views, H=size, W=size, split=split,
+            env_bg=cfg_dataset.get("env_bg", False),
+            hemisphere=cfg_dataset.get("hemisphere", False))
     else:
         raise ValueError(f"unknown dataset {name}")
     if "near_far" in cfg_dataset and cfg_dataset["near_far"]:

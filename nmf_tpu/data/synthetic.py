@@ -255,29 +255,51 @@ def _np_srgb(x):
 
 
 def make_shiny_dataset(n_views=24, H=128, W=128, radius=3.2, seed=0,
-                       phi_deg=-25.0, split="train", env=None):
+                       phi_deg=-25.0, split="train", env=None,
+                       env_bg=False, hemisphere=False):
     """Protocol scene (see module header). all_rgbs is RGBA (tonemapped
     foreground + alpha) so training can blend random backgrounds like the
-    blender loader; test views sit between train azimuths."""
+    blender loader; test views sit between train azimuths.
+
+    env_bg=True bakes the true environment into background pixels with
+    alpha 1 (a "real capture" protocol: the bg module receives direct
+    supervision in every camera-visible direction, so envmap recovery is
+    measurable and specular geometry cannot hide against a blended-white
+    background). hemisphere=True replaces the two fixed elevation rings
+    with stratified azimuth x golden-ratio elevations over [-10, -60] deg
+    (the blender protocol's upper-hemisphere coverage; two rings leave
+    vertical parallax unconstrained and a 30k specular fit collapses into
+    view-dependent floaters)."""
     env = env or _ShinyEnv()
     focal = 0.5 * W / np.tan(0.5 * np.deg2rad(55.0))
     directions = get_ray_directions_blender(H, W, [focal, focal])
     directions = directions / np.linalg.norm(directions, axis=-1,
                                              keepdims=True)
-    offset = 0.0 if split == "train" else 180.0 / n_views
-    phis = [phi_deg, phi_deg - 12.0]
+    if hemisphere:
+        rng = np.random.default_rng(seed + (0 if split == "train" else 101))
+        thetas = (360.0 * (np.arange(n_views)
+                           + rng.uniform(0, 1, n_views)) / n_views)
+        fracs = (np.arange(n_views) * 0.6180339887 + rng.uniform()) % 1.0
+        view_phis = -10.0 - 50.0 * fracs
+    else:
+        offset = 0.0 if split == "train" else 180.0 / n_views
+        phis = [phi_deg, phi_deg - 12.0]
+        thetas = 360.0 * np.arange(n_views) / n_views + offset
+        view_phis = np.array([phis[i % len(phis)] for i in range(n_views)])
     all_rays, all_rgbs, all_norms, all_tints = [], [], [], []
     poses = []
     for i in range(n_views):
-        theta = 360.0 * i / n_views + offset
-        c2w = pose_spherical(theta, phis[i % len(phis)], radius)
+        c2w = pose_spherical(thetas[i], view_phis[i], radius)
         poses.append(c2w)
         rays_o, rays_d = get_rays(directions, c2w)
         rgb, alpha, norms, tints = render_shiny_scene(rays_o, rays_d, env)
         ldr = np.clip(_np_srgb(np.clip(rgb, 0, None)), 0, 1)
-        rgba = np.concatenate([ldr, alpha[:, None]], -1)
-        # background pixels carry the env color but alpha 0: the trainer
-        # blends them over bg_col exactly like blender RGBA frames
+        if env_bg:
+            rgba = np.concatenate([ldr, np.ones_like(alpha)[:, None]], -1)
+        else:
+            # background pixels carry the env color but alpha 0: the
+            # trainer blends them over bg_col exactly like blender RGBA
+            rgba = np.concatenate([ldr, alpha[:, None]], -1)
         all_rays.append(np.concatenate([rays_o, rays_d], axis=-1))
         all_rgbs.append(rgba)
         all_norms.append(norms)

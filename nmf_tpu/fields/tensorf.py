@@ -34,6 +34,7 @@ from ..ops.grid_sample import (
     grid_sample_2d,
     line_interp_matmul,
     quad_gather_2d,
+    quad_gather_2d_binsum,
     resize_align_corners_1d,
     resize_align_corners_2d,
     smoothed_derivative_kernels_2d,
@@ -61,7 +62,7 @@ class FactorGrid:
         return (len({p.shape for p in self.planes}) == 1
                 and len({l.shape for l in self.lines}) == 1)
 
-    def query(self, coords, dtype=None):
+    def query(self, coords, dtype=None, binsum=False):
         """coords: (..., 3) normalized in [-1,1] -> list of 3 (..., C).
 
         When all three planes share a shape (cubic grids, the common case)
@@ -82,7 +83,8 @@ class FactorGrid:
             # line_interp_matmul are the row-count-optimal forms (one
             # gathered row per plane sample, zero gathers for lines) and
             # bit-match the fused compute_all path.
-            pc = quad_gather_2d(
+            qg = quad_gather_2d_binsum if binsum else quad_gather_2d
+            pc = qg(
                 cast(self.planes[i]),
                 jnp.stack([coords[..., m0], coords[..., m1]], axis=-1),
             )
@@ -208,6 +210,9 @@ class TensorVMSplit:
     # dtype used for the fused gather path ('bf16' halves gather bandwidth;
     # parameters and accumulation stay f32)
     gather_dtype: str = struct.field(pytree_node=False, default="bf16")
+    # route plane-gradient scatter-adds through the Pallas bin-sum kernel
+    # (ops/pallas/binsum.py) instead of XLA's serialized row scatter
+    scatter_kernel: bool = struct.field(pytree_node=False, default=False)
     interp_mode: str = struct.field(pytree_node=False, default="bilinear")
     grid_size: Tuple[int, int, int] = struct.field(
         pytree_node=False, default=(128, 128, 128))
@@ -295,7 +300,8 @@ class TensorVMSplit:
         coords = self.normalize_coord(xyz)[..., :3]
         gd = (jnp.bfloat16 if use_gather_dtype and self.gather_dtype == "bf16"
               else None)
-        feats = self.density_rf.query(coords, dtype=gd)
+        feats = self.density_rf.query(coords, dtype=gd,
+                                      binsum=self.scatter_kernel)
         sig = self._contract_density(feats)
         return self.feature2density(sig) if activate else sig
 
@@ -350,10 +356,12 @@ class TensorVMSplit:
             pcs = [pc_all[i] for i in range(3)]
             lcs = [lc_all[i] for i in range(3)]
         else:
+            qg = quad_gather_2d_binsum if self.scatter_kernel \
+                else quad_gather_2d
             for i in range(3):
                 m0, m1 = MAT_MODE[i]
                 v = VEC_MODE[i]
-                pcs.append(quad_gather_2d(planes[i].astype(gd), jnp.stack(
+                pcs.append(qg(planes[i].astype(gd), jnp.stack(
                     [coords[..., m0], coords[..., m1]], axis=-1)))
                 lcs.append(line_interp_matmul(lines[i].astype(gd),
                                               coords[..., v]))
@@ -388,7 +396,7 @@ class TensorVMSplit:
 
     def compute_appfeature(self, xyz):
         coords = self.normalize_coord(xyz)[..., :3]
-        feats = self.app_rf.query(coords)
+        feats = self.app_rf.query(coords, binsum=self.scatter_kernel)
         cat = jnp.concatenate(feats, axis=-1)
         return jnp.dot(cat, self.basis_mat, preferred_element_type=jnp.float32)
 
@@ -418,7 +426,8 @@ class TensorVMSplit:
         else:
             def sig_fn(pts3):
                 feats = self.density_rf.query(
-                    self.normalize_coord(pts3)[..., :3])
+                    self.normalize_coord(pts3)[..., :3],
+                    binsum=self.scatter_kernel)
                 return self._contract_density(feats).sum()
             g = jax.grad(sig_fn)(xyz[..., :3])
         return safemath.normalize(-g)

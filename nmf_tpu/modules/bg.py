@@ -20,7 +20,7 @@ import numpy as np
 from flax import struct
 
 from ..ops import sh
-from ..ops.grid_sample import quad_gather_2d
+from ..ops.grid_sample import quad_gather_2d, quad_gather_2d_binsum
 from ..ops.safemath import safe_atan2
 
 EPS = float(jnp.finfo(jnp.float32).eps)
@@ -40,7 +40,7 @@ SAT_PAD = 72
 SAT_VPAD = 40
 
 
-def _integrate_box(bl, br, tl, tr, size, cum_mat, W, H):
+def _integrate_box(bl, br, tl, tr, size, cum_mat, W, H, binsum=False):
     """SAT box integral over the wrap/pole-extended table: ONE rectangle,
     4 corner lookups, each a single quad-gathered row.
 
@@ -64,7 +64,8 @@ def _integrate_box(bl, br, tl, tr, size, cum_mat, W, H):
                          axis=-1)
 
     corners = jnp.stack([to_ext(bl), to_ext(br), to_ext(tl), to_ext(tr)])
-    vals = quad_gather_2d(cum_mat, corners)  # (4, N, C)
+    qg = quad_gather_2d_binsum if binsum else quad_gather_2d
+    vals = qg(cum_mat, corners)  # (4, N, C)
     return (vals[3] + vals[0] - vals[2] - vals[1]) / size[..., None]
 
 
@@ -77,6 +78,9 @@ class IntegralEquirect:
 
     activation: str = struct.field(pytree_node=False, default="exp")
     mipnoise: float = struct.field(pytree_node=False, default=0.0)
+    # Pallas bin-sum scatter for the SAT backward (collision-heavy:
+    # concentrated reflections pile gradient rows onto few texels)
+    scatter_kernel: bool = struct.field(pytree_node=False, default=False)
     lr: float = struct.field(pytree_node=False, default=0.02)
     mipbias_lr: float = struct.field(pytree_node=False, default=1e-4)
     brightness_lr: float = struct.field(pytree_node=False, default=0.0)
@@ -185,7 +189,8 @@ class IntegralEquirect:
         br = coords + jnp.stack([sw, -shh], -1) / 2
         tl = coords + jnp.stack([-sw, shh], -1) / 2
         bg_vals = _integrate_box(bl, br, tl, tr, size,
-                                 cache["cum_mat"], w, h) * SAT_SCALE
+                                 cache["cum_mat"], w, h,
+                                 binsum=self.scatter_kernel) * SAT_SCALE
 
         # pole rows: within 3 texels of a pole use the averaged edge row
         cutoff = 1 - 2 / h * 3
@@ -222,7 +227,7 @@ def init_integral_equirect(key, bg_resolution=512, init_val=-0.6,
                            activation="exp", mipbias=1.0, mipnoise=0.0,
                            lr=0.02, mipbias_lr=1e-4, brightness_lr=0.0,
                            mul_lr=0.0, betas=(0.9, 0.99),
-                           mul_betas=(0.9, 0.9), **_):
+                           mul_betas=(0.9, 0.9), scatter_kernel=False, **_):
     data = init_val * jnp.ones((3, bg_resolution, 2 * bg_resolution))
     return IntegralEquirect(
         bg_mat=data,
@@ -231,4 +236,5 @@ def init_integral_equirect(key, bg_resolution=512, init_val=-0.6,
         mul=jnp.asarray(1.0),
         activation=activation, mipnoise=mipnoise, lr=lr,
         mipbias_lr=mipbias_lr, brightness_lr=brightness_lr, mul_lr=mul_lr,
-        betas=tuple(betas), mul_betas=tuple(mul_betas))
+        betas=tuple(betas), mul_betas=tuple(mul_betas),
+        scatter_kernel=bool(scatter_kernel))

@@ -143,6 +143,114 @@ def quad_gather_2d(plane, coords):
             + r[..., 3 * C:4 * C] * w11[..., None])
 
 
+def _quad_prep(plane_shape, coords):
+    """Shared coordinate math of quad_gather_2d: flat corner index and
+    bilinear weights (+ the unnormalize scale for coordinate grads)."""
+    C, H, W = plane_shape
+    cx = jnp.clip(coords[..., 0], -1, 1)
+    cy = jnp.clip(coords[..., 1], -1, 1)
+    x = _unnormalize(cx, W)
+    y = _unnormalize(cy, H)
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx = x - x0f
+    wy = y - y0f
+    ix0 = jnp.clip(x0f.astype(jnp.int32), 0, W - 1)
+    iy0 = jnp.clip(y0f.astype(jnp.int32), 0, H - 1)
+    return ix0, iy0, wx, wy
+
+
+def _quad_table(plane):
+    """(C, H, W) -> row-gatherable (H*W, 4C) corner table (quad layout)."""
+    C, H, W = plane.shape
+    quad = jnp.concatenate([
+        plane,
+        jnp.roll(plane, -1, axis=2),
+        jnp.roll(plane, -1, axis=1),
+        jnp.roll(jnp.roll(plane, -1, axis=1), -1, axis=2),
+    ], axis=0)
+    return quad.reshape(4 * C, H * W).T
+
+
+def _quad_combine(rows, wx, wy, C):
+    r = rows.astype(jnp.float32)
+    w00 = (1 - wx) * (1 - wy)
+    w10 = wx * (1 - wy)
+    w01 = (1 - wx) * wy
+    w11 = wx * wy
+    return (r[..., 0 * C:1 * C] * w00[..., None]
+            + r[..., 1 * C:2 * C] * w10[..., None]
+            + r[..., 2 * C:3 * C] * w01[..., None]
+            + r[..., 3 * C:4 * C] * w11[..., None])
+
+
+@jax.custom_vjp
+def quad_gather_2d_binsum(plane, coords):
+    """quad_gather_2d with a hand-written backward that routes the plane
+    scatter-add through the Pallas bin-sum kernel (ops/pallas/binsum.py).
+
+    Forward is bit-identical to quad_gather_2d. Backward replaces XLA's
+    serialized row scatter (~18 ns/row, collision-bound) with
+    sort + segment-tiled one-hot-matmul accumulation, and computes the
+    coordinate cotangent analytically (re-gathering the corner rows; XLA
+    DCEs that gather whenever coords are stop_gradient, so the common
+    fine-pass case pays nothing for it)."""
+    C, H, W = plane.shape
+    ix0, iy0, wx, wy = _quad_prep(plane.shape, coords)
+    rows = jnp.take(_quad_table(plane), iy0 * W + ix0, axis=0)
+    return _quad_combine(rows, wx, wy, C)
+
+
+def _qg_fwd(plane, coords):
+    return quad_gather_2d_binsum(plane, coords), (plane, coords)
+
+
+def _qg_bwd(res, g):
+    from .pallas.binsum import binsum_rows
+
+    plane, coords = res
+    C, H, W = plane.shape
+    ix0, iy0, wx, wy = _quad_prep(plane.shape, coords)
+    flat = (iy0 * W + ix0).reshape(-1)
+    gN = g.reshape(-1, C).astype(jnp.float32)
+    wxf = wx.reshape(-1)[:, None]
+    wyf = wy.reshape(-1)[:, None]
+    w00 = (1 - wxf) * (1 - wyf)
+    w10 = wxf * (1 - wyf)
+    w01 = (1 - wxf) * wyf
+    w11 = wxf * wyf
+    grows = jnp.concatenate(
+        [gN * w00, gN * w10, gN * w01, gN * w11], axis=-1)
+    dquad_t = binsum_rows(flat, grows, H * W)          # (HW, 4C)
+    dq = dquad_t.T.reshape(4 * C, H, W)
+    d0 = dq[0 * C:1 * C]
+    d1 = jnp.roll(dq[1 * C:2 * C], 1, axis=2)
+    d2 = jnp.roll(dq[2 * C:3 * C], 1, axis=1)
+    d3 = jnp.roll(jnp.roll(dq[3 * C:4 * C], 1, axis=1), 1, axis=2)
+    dplane = (d0 + d1 + d2 + d3).astype(plane.dtype)
+
+    # coordinate cotangent (dead -> DCE'd when coords are stop_gradient)
+    rows = jnp.take(_quad_table(plane), flat, axis=0).astype(jnp.float32)
+    r00 = rows[:, 0 * C:1 * C]
+    r10 = rows[:, 1 * C:2 * C]
+    r01 = rows[:, 2 * C:3 * C]
+    r11 = rows[:, 3 * C:4 * C]
+    dwx = ((r10 - r00) * (1 - wyf) + (r11 - r01) * wyf)
+    dwy = ((r01 - r00) * (1 - wxf) + (r11 - r10) * wxf)
+    gx = (gN * dwx).sum(-1) * (0.5 * (W - 1))
+    gy = (gN * dwy).sum(-1) * (0.5 * (H - 1))
+    cx = coords[..., 0].reshape(-1)
+    cy = coords[..., 1].reshape(-1)
+    gx = jnp.where((cx >= -1) & (cx <= 1), gx, 0.0)
+    gy = jnp.where((cy >= -1) & (cy <= 1), gy, 0.0)
+    dcoords = jnp.stack([gx, gy], axis=-1).reshape(coords.shape) \
+        .astype(coords.dtype)
+    return dplane, dcoords
+
+
+quad_gather_2d_binsum.defvjp(_qg_fwd, _qg_bwd)
+
+
 def line_interp_matmul(line, coords):
     """Linear 1D sample as a 2-hot MXU matmul (zero gathers).
 

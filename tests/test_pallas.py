@@ -69,3 +69,72 @@ class TestCompositeKernel:
         w2, r2, a2, d2 = composite.composite_rays_reference(*args)
         np.testing.assert_allclose(w1, w2, rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(r1, r2, rtol=1e-5, atol=1e-6)
+
+
+class TestBinsumKernel:
+    def test_scatter_parity(self):
+        from nmf_tpu.ops.pallas.binsum import binsum_rows
+
+        rng = np.random.default_rng(0)
+        N, C, R = 5000, 24, 3000
+        idx = rng.integers(0, R, N).astype(np.int32)
+        vals = rng.normal(size=(N, C)).astype(np.float32)
+        ref = np.zeros((R, C), np.float32)
+        np.add.at(ref, idx, vals)
+        out = np.asarray(binsum_rows(jnp.asarray(idx), jnp.asarray(vals), R))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def test_collisions_and_oob(self):
+        from nmf_tpu.ops.pallas.binsum import binsum_rows
+
+        rng = np.random.default_rng(1)
+        N, C, R = 4000, 8, 1500
+        # everything piles into 7 rows; 100 rows out of range must drop
+        idx = rng.integers(0, 7, N).astype(np.int32)
+        idx[:100] = R + 999
+        vals = rng.normal(size=(N, C)).astype(np.float32)
+        ref = np.zeros((R, C), np.float32)
+        np.add.at(ref, idx[100:], vals[100:])
+        out = np.asarray(binsum_rows(jnp.asarray(idx), jnp.asarray(vals), R))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+class TestQuadGatherBinsum:
+    def test_forward_and_grads_match_autodiff(self):
+        from nmf_tpu.ops.grid_sample import (quad_gather_2d,
+                                             quad_gather_2d_binsum)
+
+        rng = np.random.default_rng(1)
+        C, H, W, N = 8, 17, 23, 512
+        plane = jnp.asarray(rng.normal(size=(C, H, W)).astype(np.float32))
+        coords = jnp.asarray(
+            rng.uniform(-1.1, 1.1, size=(N, 2)).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32))
+
+        np.testing.assert_array_equal(
+            np.asarray(quad_gather_2d(plane, coords)),
+            np.asarray(quad_gather_2d_binsum(plane, coords)))
+
+        ga = jax.grad(lambda p, c: (quad_gather_2d(p, c) * g).sum(),
+                      argnums=(0, 1))(plane, coords)
+        gb = jax.grad(lambda p, c: (quad_gather_2d_binsum(p, c) * g).sum(),
+                      argnums=(0, 1))(plane, coords)
+        np.testing.assert_allclose(gb[0], ga[0], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(gb[1], ga[1], rtol=1e-4, atol=1e-3)
+
+    def test_batched_coords(self):
+        # the SAT callsite passes (4, N, 2) corner stacks
+        from nmf_tpu.ops.grid_sample import (quad_gather_2d,
+                                             quad_gather_2d_binsum)
+
+        rng = np.random.default_rng(2)
+        plane = jnp.asarray(rng.normal(size=(3, 11, 19)).astype(np.float32))
+        c4 = jnp.asarray(
+            rng.uniform(-1, 1, size=(4, 64, 2)).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(quad_gather_2d(plane, c4)),
+            np.asarray(quad_gather_2d_binsum(plane, c4)))
+        ga = jax.grad(lambda p: (quad_gather_2d(p, c4) ** 2).sum())(plane)
+        gb = jax.grad(
+            lambda p: (quad_gather_2d_binsum(p, c4) ** 2).sum())(plane)
+        np.testing.assert_allclose(gb, ga, rtol=1e-4, atol=1e-5)
