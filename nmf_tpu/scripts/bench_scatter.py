@@ -160,9 +160,46 @@ def bench_scatter():
         print(f"{'':28s} chunk-combine rel err:    {err:.2e}")
 
 
+def bench_binsum():
+    """A/B the Pallas bin-sum kernel against XLA scatter at the train
+    step's real shapes: fine-pass quad-plane gradient (uniform-ish) and
+    envmap SAT backward (collision-heavy)."""
+    from nmf_tpu.ops.pallas.binsum import binsum_rows
+
+    key = jax.random.PRNGKey(0)
+    for (M, T, D, dist) in [(262144, 90000, 288, "uniform"),
+                            (262144, 90000, 288, "hot"),
+                            (262144, 691456, 12, "hot"),
+                            (262144, 691456, 12, "uniform")]:
+        k1, k2 = jax.random.split(jax.random.fold_in(key, M + T + D))
+        if dist == "uniform":
+            idx = jax.random.randint(k1, (M,), 0, T)
+        else:
+            hot = jax.random.randint(k1, (M,), 0, 64)
+            cold = jax.random.randint(k1, (M,), 0, T)
+            idx = jnp.where(jax.random.uniform(k2, (M,)) < 0.9, hot, cold)
+        g = jax.random.normal(k2, (M, D), jnp.float32)
+
+        base = jax.jit(lambda idx, g, s: jnp.zeros((T, D), g.dtype)
+                       .at[idx].add(g + s * 0))
+        t0 = timeit(base, idx, g)
+        print(f"M={M} T={T} D={D} {dist:8s} XLA .at[].add:  {t0:7.2f} ms")
+
+        bk = jax.jit(lambda idx, g, s: binsum_rows(idx, g + s * 0, T))
+        t1 = timeit(bk, idx, g)
+        print(f"{'':28s} pallas binsum:   {t1:7.2f} ms  "
+              f"({t0 / max(t1, 1e-9):.2f}x)")
+        ref = np.asarray(base(idx, g, jnp.zeros(())), np.float32)
+        got = np.asarray(bk(idx, g, jnp.zeros(())), np.float32)
+        err = np.abs(ref - got).max() / (np.abs(ref).max() + 1e-8)
+        print(f"{'':28s} binsum rel err:  {err:.2e}")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("alpha", "all"):
         bench_alpha()
     if which in ("scatter", "all"):
         bench_scatter()
+    if which in ("binsum", "all"):
+        bench_binsum()
