@@ -356,7 +356,8 @@ def build_nmf(key, arch_cfg: Dict, aabb, near_far, grid_size=None) -> NMF:
                "geonorm_interp_iters", "eval_batch_size", "lr_scale",
                "max_samples_per_ray", "recur_samples_per_ray", "use_pallas",
                "app_samples_per_ray", "proposal_samples_per_ray",
-               "recur_proposal_samples_per_ray", "proposal_pad"}
+               "recur_proposal_samples_per_ray", "proposal_pad",
+               "proposal_pad_init", "proposal_pad_iters"}
     top = {k: v for k, v in arch_cfg.items() if k in allowed}
     # NOTE: the pallas composite kernel wins standalone (2.3x on
     # transmittance fwd+bwd) but currently LOSES inside the full train graph
@@ -369,6 +370,11 @@ def build_nmf(key, arch_cfg: Dict, aabb, near_far, grid_size=None) -> NMF:
               use_predicted_normals=use_pred,
               predicted_normal_lambda=jnp.asarray(1.0 if use_pred else 0.0),
               **top)
+    if nmf.proposal_pad_iters > 0 and nmf.proposal_pad_init > 0:
+        # leaf must exist from step 0 so the pytree structure (and the
+        # optimizer state built over it) never changes mid-train
+        nmf = nmf.replace(
+            proposal_pad_cur=jnp.asarray(nmf.proposal_pad_init, jnp.float32))
     return strongify(nmf)
 
 

@@ -69,6 +69,16 @@ class NMF:
     recur_proposal_samples_per_ray: int = struct.field(
         pytree_node=False, default=-1)
     proposal_pad: float = struct.field(pytree_node=False, default=0.01)
+    # annealed pad: geometric interp proposal_pad_init -> proposal_pad over
+    # proposal_pad_iters iterations (0 = off). Early in training the
+    # stop-gradient proposal density is noise, so a high pad keeps fine
+    # samples exploring the whole occupied span; late it concentrates.
+    # The live value is the dynamic leaf proposal_pad_cur ("frozen"
+    # optimizer group), updated host-side like predicted_normal_lambda --
+    # pad is purely numeric so annealing costs zero recompiles.
+    proposal_pad_init: float = struct.field(pytree_node=False, default=-1.0)
+    proposal_pad_iters: int = struct.field(pytree_node=False, default=0)
+    proposal_pad_cur: Any = None
 
     def check_schedule(self, iteration: int, batch_mul: int = 1):
         """Host-side schedule tick. Returns (new_self, needs_optimizer_reinit)."""
@@ -96,6 +106,13 @@ class NMF:
             # explicit dtype: weak scalars would retrace the jitted step
             new = new.replace(
                 predicted_normal_lambda=jnp.asarray(lam, dtype=jnp.float32))
+        if self.proposal_pad_iters > 0 and self.proposal_pad_cur is not None:
+            t = min(max((iteration / batch_mul) / self.proposal_pad_iters,
+                        0.0), 1.0)
+            pad = (self.proposal_pad_init ** (1.0 - t)
+                   * self.proposal_pad ** t)
+            new = new.replace(
+                proposal_pad_cur=jnp.asarray(pad, dtype=jnp.float32))
         return new, changed
 
 
@@ -159,9 +176,10 @@ def render(nmf: NMF, rays, key, focal=1.0, is_train=False, bg_col=(1.0, 1.0, 1.0
             xyz.reshape(-1, 4), **dkw).reshape(B, K)
         sigma_p = jnp.where(valid, sigma_p, 0.0)
         w_p, _ = raw2alpha(sigma_p, dists * nmf.rf.distance_scale)
+        pad = (nmf.proposal_pad_cur if nmf.proposal_pad_cur is not None
+               else nmf.proposal_pad)
         z_vals, dists, _, valid = resample_pdf(
-            keys[2], z_vals, dists, w_p, valid, kf, is_train,
-            nmf.proposal_pad)
+            keys[2], z_vals, dists, w_p, valid, kf, is_train, pad)
         pts = rays[:, None, 0:3] + rays[:, None, 3:6] * z_vals[..., None]
         xyz = jnp.concatenate([pts, z_vals[..., None] / focal], axis=-1)
         K = kf

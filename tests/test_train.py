@@ -292,6 +292,58 @@ class TestProposalResampling:
                      - np.asarray(prop["rgb_map"])).mean()
         assert err < 0.02, err
 
+    def test_annealed_proposal_pad(self):
+        """proposal_pad_init/iters anneals the pad leaf geometrically at
+        schedule ticks, alters the fine-sample distribution, and stays a
+        'frozen' optimizer group (no recompile: the leaf exists from
+        build)."""
+        from nmf_tpu import config as config_lib
+        from nmf_tpu.builders import build_nmf
+
+        cfg = config_lib.compose([
+            "model=tensorf", "dataset=synthetic_sphere",
+            "field.N_voxel_init=4096", "field.N_voxel_final=4096",
+            "field.upsamp_list=[]",
+            "model.arch.max_samples_per_ray=32",
+            "model.arch.proposal_samples_per_ray=16",
+            "model.arch.proposal_pad=0.01",
+            "model.arch.proposal_pad_init=1.0",
+            "model.arch.proposal_pad_iters=100",
+        ])
+        aabb = np.array([[-1.5] * 3, [1.5] * 3], np.float32)
+        nmf = build_nmf(jax.random.PRNGKey(0), cfg["model"]["arch"], aabb,
+                        (2.0, 6.0))
+        assert float(nmf.proposal_pad_cur) == 1.0
+        # anneal tick: halfway -> geometric mean of (1.0, 0.01) = 0.1
+        nmf50, changed = nmf.check_schedule(50)
+        assert abs(float(nmf50.proposal_pad_cur) - 0.1) < 1e-6
+        nmf100, _ = nmf.check_schedule(100)
+        assert abs(float(nmf100.proposal_pad_cur) - 0.01) < 1e-7
+        # past the anneal horizon the pad pins at the final value
+        nmf200, _ = nmf.check_schedule(200)
+        assert abs(float(nmf200.proposal_pad_cur) - 0.01) < 1e-7
+        # the leaf is frozen for the optimizer
+        labels = trainer.make_label_tree(nmf)
+        assert labels.proposal_pad_cur == "frozen"
+        # pad actually changes the fine-sample placement and a train step
+        # runs with the annealed leaf in the graph
+        rays = jnp.asarray(make_sphere_dataset(
+            n_views=1, H=16, W=16)["all_rays"][:64])
+        a, _ = render(nmf, rays, jax.random.PRNGKey(3), is_train=True)
+        b, _ = render(nmf100, rays, jax.random.PRNGKey(3), is_train=True)
+        assert np.abs(np.asarray(a["rgb_map"])
+                      - np.asarray(b["rgb_map"])).max() > 0
+        tx = trainer.make_optimizer(nmf, trainer.OptimConfig(n_iters=100))
+        opt_state = tx.init(nmf)
+        step = trainer.make_train_step(tx)
+        ds = make_sphere_dataset(n_views=1, H=16, W=16)
+        nmf2, _, m = step(nmf, opt_state, jnp.asarray(ds["all_rays"][:64]),
+                          jnp.asarray(ds["all_rgbs"][:64]), jnp.ones(3),
+                          jax.random.PRNGKey(4), trainer.LossWeights())
+        assert np.isfinite(float(m["loss"]))
+        # the frozen group leaves the pad leaf untouched
+        assert float(nmf2.proposal_pad_cur) == 1.0
+
 
 class TestConfigSurface:
     def test_all_model_field_combos_build(self):
