@@ -55,6 +55,18 @@ def collect(logdir: Path):
                     row[k] = sum(v) / len(v)
                 elif isinstance(v, (int, float)):
                     row[k] = v
+        # run-level scalars (envmap_psnr_top etc., eval.py summary) live in
+        # mean.txt next to the stats yaml; merge without clobbering
+        mean_txt = stats.parent / "mean.txt"
+        if mean_txt.exists():
+            try:
+                summary = json.loads(mean_txt.read_text().replace("'", '"'))
+                row = rows.setdefault(str(run), {})
+                for k, v in summary.items():
+                    if isinstance(v, (int, float)):
+                        row.setdefault(k, v)
+            except (ValueError, json.JSONDecodeError):
+                pass
     return rows
 
 
