@@ -138,3 +138,52 @@ class TestQuadGatherBinsum:
         gb = jax.grad(
             lambda p: (quad_gather_2d_binsum(p, c4) ** 2).sum())(plane)
         np.testing.assert_allclose(gb, ga, rtol=1e-4, atol=1e-5)
+
+
+class TestBinsumEndToEnd:
+    def test_flagship_train_step_trajectory_parity(self):
+        """field.scatter_kernel + bg scatter_kernel through the FULL
+        microfacet train step: the kernel is an exact regrouping of the
+        same sums, so short loss trajectories must agree to accumulation
+        noise (on-chip A/B: runs/run_binsum_ab.py)."""
+        from nmf_tpu import config as config_lib, trainer
+        from nmf_tpu.builders import build_nmf
+
+        def run(on):
+            o = ["model=microfacet_tensorf2", "dataset=synthetic_sphere",
+                 "field.N_voxel_init=4096", "field.N_voxel_final=4096",
+                 "field.upsamp_list=[]",
+                 "model.arch.max_samples_per_ray=16",
+                 "model.arch.recur_samples_per_ray=8",
+                 "model.arch.model.brdf_ray_budget=[512,128]",
+                 "model.arch.model.max_retrace_rays=[64]",
+                 "model.arch.bg_module.bg_resolution=32"]
+            if on:
+                o += ["field.scatter_kernel=true",
+                      "model.arch.bg_module.scatter_kernel=true"]
+            cfg = config_lib.compose(o)
+            aabb = np.array([[-1.5] * 3, [1.5] * 3], np.float32)
+            nmf = build_nmf(jax.random.PRNGKey(0), cfg["model"]["arch"],
+                            aabb, (2.0, 6.0))
+            tx = trainer.make_optimizer(nmf, trainer.OptimConfig(n_iters=10))
+            st = tx.init(nmf)
+            step = trainer.make_train_step(tx)
+            w = trainer.LossWeights()
+            rng = np.random.default_rng(0)
+            rays = np.concatenate(
+                [np.tile([[0, 0, -4.0]], (128, 1)),
+                 rng.normal(size=(128, 3))], -1).astype(np.float32)
+            rays[:, 3:] /= np.linalg.norm(rays[:, 3:], axis=-1,
+                                          keepdims=True)
+            rgbs = rng.uniform(size=(128, 3)).astype(np.float32)
+            key = jax.random.PRNGKey(0)
+            losses = []
+            for _ in range(3):
+                key, sk = jax.random.split(key)
+                nmf, st, m = step(nmf, st, jnp.asarray(rays),
+                                  jnp.asarray(rgbs), jnp.ones(3), sk, w)
+                losses.append(float(m["loss"]))
+            return np.asarray(losses)
+
+        a, b = run(False), run(True)
+        np.testing.assert_allclose(b, a, rtol=2e-4)
