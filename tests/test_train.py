@@ -686,3 +686,30 @@ class TestReeval:
         out = reeval_run(run, "/unused", log=lambda *a: None)
         assert out["psnr"] > 45
         assert out["norm_err"] < 2.0
+
+
+class TestDatasetConfigSurface:
+    def test_all_dataset_yamls_compose(self):
+        """Every shipped dataset yaml composes and names a registered
+        loader (the reference README points users at configs/dataset/;
+        dataLoader/__init__.py:9-13 registry)."""
+        from pathlib import Path
+
+        from nmf_tpu import config as config_lib
+
+        # names dispatched by data/blender.py:load_dataset
+        registry = {"blender", "llff", "nsvf", "tankstemple", "own_data",
+                    "synthetic_sphere", "synthetic_shiny"}
+        ydir = (Path(config_lib.__file__).parent / "configs" / "dataset")
+        names = sorted(p.stem for p in ydir.glob("*.yaml"))
+        assert len(names) >= 52, names
+        for name in names:
+            cfg = config_lib.compose([f"dataset={name}"])
+            dcfg = cfg["dataset"]
+            if isinstance(dcfg, list):      # dual-scene list configs
+                assert len(dcfg) >= 2, name
+                sub_names = [d.get("dataset_name") for d in dcfg]
+                assert all(n in registry for n in sub_names), (name,
+                                                               sub_names)
+                continue
+            assert dcfg.get("dataset_name") in registry, name
