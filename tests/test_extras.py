@@ -992,3 +992,70 @@ class TestNativeExr:
         b = _read_exr_py(p)
         np.testing.assert_array_equal(a[..., :3], b[..., :3])
         assert np.abs(a[..., :3] - img).max() < 2e-3  # half quantization
+
+
+class TestOfflineToolCLIs:
+    """Smoke coverage for the user-facing offline scripts (SURVEY L10)."""
+
+    def test_pano2env_fit_and_use_as_fixed_bg(self, tmp_path):
+        """pano2env fits an IntegralEquirect to a small HDR pano and the
+        saved checkpoint loads as a bg module (the relighting input path,
+        reference scripts/pano2cube.py -> train.py fixed_bg)."""
+        import imageio.v2 as imageio
+
+        from nmf_tpu import ckpt
+        from nmf_tpu.scripts.pano2env import main as pano2env_main
+
+        rng = np.random.default_rng(0)
+        pano = rng.uniform(0.0, 1.0, size=(16, 32, 3)).astype(np.float32)
+        src = tmp_path / "pano.png"
+        imageio.imwrite(src, (pano * 255).astype(np.uint8))
+        out = tmp_path / "env.th"
+        pano2env_main([str(src), str(out), "--resolution", "16",
+                       "--iters", "40"])
+        bg, meta, _ = ckpt.load(out)
+        dirs = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        cols = bg(dirs, jnp.full((64, 1), -3.0))
+        assert np.isfinite(np.asarray(cols)).all()
+
+    def test_compose_scenes_renders_listrf_union(self, tmp_path):
+        """compose_scenes unions two checkpoints via ListRF and renders an
+        orbit (reference scripts/toaster_on_car.py / sphere_render.py)."""
+        from nmf_tpu import ckpt
+        from nmf_tpu.data.synthetic import make_sphere_dataset
+        from nmf_tpu.fields.tensorf import init_tensorvm_split
+        from nmf_tpu.models.tensorf import init_tensorf_shade
+        from nmf_tpu.render import NMF
+        from nmf_tpu.samplers.alphagrid import AlphaGridSampler
+        from nmf_tpu.scripts.compose_scenes import main as compose_main
+
+        ds = make_sphere_dataset(n_views=1, H=8, W=8)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        rf = init_tensorvm_split(k1, ds["scene_bbox"], grid_size=[16] * 3,
+                                 N_voxel_init=16 ** 3,
+                                 N_voxel_final=16 ** 3, upsamp_list=())
+        sampler = AlphaGridSampler(
+            alpha_mask=None, aabb=jnp.asarray(ds["scene_bbox"]),
+            near_far=tuple(ds["near_far"])).update(rf, init=True)
+        nmf = NMF(rf=rf, sampler=sampler,
+                  model=init_tensorf_shade(k2, rf.app_dim),
+                  max_samples_per_ray=16)
+        p1 = tmp_path / "a.th"
+        ckpt.save(p1, nmf, {})
+        outdir = tmp_path / "out"
+        compose_main(["--ckpt", str(p1), "--ckpt", str(p1),
+                      "--offset", "0,0,0", "--offset", "0.5,0,0",
+                      "--out", str(outdir), "--frames", "2",
+                      "--image-size", "16", "--chunk", "256"])
+        import glob
+
+        # render_path writes per-frame pngs under <out>/path/
+        assert len(glob.glob(str(outdir / "path" / "*.png"))) >= 2
+
+    def test_collect_env_runs(self, capsys):
+        from nmf_tpu.scripts.collect_env import main as collect_main
+
+        collect_main()
+        out = capsys.readouterr().out
+        assert "jax" in out.lower()
