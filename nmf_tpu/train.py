@@ -82,12 +82,25 @@ def reconstruction(cfg, log=print):
             * float(cfg["dataset"].get("aabb_scale", 1)))
     nmf = build_nmf(bkey, cfg["model"]["arch"], aabb, near_far)
 
-    if cfg.get("ckpt"):
+    # mid-run resume: resume=True picks up {expname}_latest.th written every
+    # save_every iters. The PRNG stream is folded from the iteration scalar
+    # (trainer._device_step_body), so the resumed ray/noise sequence matches;
+    # optimizer moments restart fresh, which is the same reset the reference
+    # performs at every schedule event (train.py:806-813).
+    start_iter = 0
+    resume_extra = {}
+    latest_path = logfolder / f"{expname}_latest.th"
+    if cfg.get("resume") and latest_path.exists():
+        nmf, _, resume_extra = ckpt_lib.load(latest_path)
+        start_iter = int(resume_extra.get("iteration", 0))
+        log(f"resume: {latest_path} at iter {start_iter}")
+    elif cfg.get("ckpt"):
         nmf, _, _ = ckpt_lib.load(cfg["ckpt"])
 
     nmf = nmf.replace(sampler=nmf.sampler.update(nmf.rf, init=True))
     key, ckey = jax.random.split(key)
-    nmf = calibrate_model(nmf, ckey)
+    if start_iter == 0:
+        nmf = calibrate_model(nmf, ckey)
 
     n_iters = int(params["n_iters"])
     batch_size = int(params.get("batch_size", 4096))
@@ -183,6 +196,7 @@ def reconstruction(cfg, log=print):
     chain_max = max(int(cfg.get("chain_steps", 8)), 1)
     refresh = max(int(cfg.get("progress_refresh_rate", 50) or 50), 1)
     vis_every = cfg.get("vis_every", 0)
+    save_every = int(cfg.get("save_every", 0) or 0)
 
     def event_iters():
         evs = set()
@@ -211,6 +225,8 @@ def reconstruction(cfg, log=print):
             nxt = min(nxt, ((it // refresh + 1) * refresh) - it)
         if vis_every:
             nxt = min(nxt, vis_every - (it % vis_every))
+        if save_every:
+            nxt = min(nxt, save_every - (it % save_every))
         if adapt_bs:
             nxt = min(nxt, 16 - (it % 16))
         return chain_max if nxt >= chain_max else 1
@@ -236,6 +252,14 @@ def reconstruction(cfg, log=print):
     rays_done = 0
     l1_rest_at = 0
     iteration = 0
+    if start_iter:
+        iteration = start_iter
+        ori_mult = ori_decay ** start_iter
+        pred_mult = pred_decay ** start_iter
+        cur_bs = fit_bs(int(resume_extra.get("cur_bs", cur_bs)))
+        evs, uf = event_iters()
+        if any(e <= start_iter for e in evs) or (uf and start_iter >= uf):
+            l1_rest_at = start_iter  # L1_weight_rest already engaged
     while iteration < n_iters:
         k = min(chunk_len(iteration), n_iters - iteration)
         ids_l, scal_l = [], []
@@ -310,6 +334,11 @@ def reconstruction(cfg, log=print):
             if cfg.get("save_often"):
                 ckpt_lib.save(logfolder / f"{expname}_{last_it}.th",
                               nmf, cfg)
+        if save_every and (last_it + 1) % save_every == 0 \
+                and last_it + 1 < n_iters:
+            ckpt_lib.save(latest_path, nmf, cfg,
+                          extra={"iteration": last_it + 1,
+                                 "cur_bs": int(cur_bs)})
         iteration = last_it + 1
 
     ckpt_lib.save(logfolder / f"{expname}.th", nmf, cfg)

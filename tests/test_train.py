@@ -122,6 +122,52 @@ class TestOverfit:
         assert nmf.rf.grid_size[0] > 16
         assert np.isfinite(float(metrics["loss"]))
 
+    def test_midrun_resume(self, tmp_path):
+        """save_every writes {expname}_latest.th; resume=True picks it up at
+        the saved iteration, skips past schedule events, and still fires
+        future ones (the tunnel-outage recovery path)."""
+        import json
+
+        from nmf_tpu import config as config_lib
+        from nmf_tpu.train import reconstruction
+
+        base = [
+            "model=tensorf", "dataset=synthetic_sphere",
+            "dataset.image_size=16", "dataset.n_views=2",
+            "model.params.batch_size=64",
+            "field.N_voxel_init=4096", "field.N_voxel_final=8000",
+            "field.upsamp_list=[8]", "model.arch.sampler.update_list=[2]",
+            "model.arch.max_samples_per_ray=24",
+            "vis_every=0", "N_vis=0", "render_test=False",
+            f"basedir={tmp_path}", "expname=res", "chain_steps=2",
+            "progress_refresh_rate=2", "save_every=4",
+        ]
+        # run A: dies (finishes) at iter 6; latest.th was written at iter 4
+        reconstruction(config_lib.compose(base + ["model.params.n_iters=6"]),
+                       log=lambda *a, **k: None)
+        rundir = tmp_path / "synthetic_sphere_res"
+        latest = rundir / "synthetic_sphere_res_latest.th"
+        assert latest.exists()
+        from nmf_tpu import ckpt as ckpt_lib
+
+        with open(latest, "rb") as f:
+            import pickle
+
+            assert pickle.load(f)["extra"]["iteration"] == 4
+        n_before = len((rundir / "metrics.jsonl").read_text().splitlines())
+
+        # run B: resume to 10 — crosses the upsamp event at 8 post-resume
+        nmf, _ = reconstruction(
+            config_lib.compose(base + ["model.params.n_iters=10",
+                                       "resume=True", "render_test=True",
+                                       "N_vis=1"]),
+            log=lambda *a, **k: None)
+        assert nmf.rf.grid_size[0] > 16  # the iter-8 upsample fired
+        recs = [json.loads(l) for l in
+                (rundir / "metrics.jsonl").read_text().splitlines()[n_before:]]
+        steps = [r["step"] for r in recs if "psnr" in r and "step" in r]
+        assert steps and min(steps) >= 4, steps  # no pre-resume iterations
+
 
 class TestConfig:
     def test_compose_defaults(self):
