@@ -203,10 +203,12 @@ def _save_map(save_dir, sub, idx, img, prefix=""):
 def evaluate(nmf: NMF, dataset, key, save_dir: Optional[str] = None,
              n_vis: int = -1, chunk: int = 4096, prefix: str = "",
              compute_extra_metrics: bool = True, gt_bg=None,
-             save_all_maps: bool = True, mesh=None):
+             save_all_maps: bool = True, mesh=None, streaming: bool = False):
     """Per-image metrics + full artifact dump (renderer.py:194-534).
     With ``mesh``, each chunk's rays shard over the device mesh (model
-    replicated) so eval renders spread across a slice."""
+    replicated) so eval renders spread across a slice. ``streaming=True``
+    renders through the blockwise alive-ray marcher (render_streaming;
+    rgb/acc/depth maps only — local-shading models)."""
     W, H = dataset["img_wh"]
     n_px = H * W
     n_images = dataset["all_rays"].shape[0] // n_px
@@ -220,7 +222,12 @@ def evaluate(nmf: NMF, dataset, key, save_dir: Optional[str] = None,
     if save_dir is not None:
         os.makedirs(save_dir, exist_ok=True)
 
-    if mesh is not None:
+    if streaming:
+        from .render_streaming import render_streaming
+
+        render_fn = jax.jit(
+            lambda nmf, r, k, c: render_streaming(nmf, r, key=k))
+    elif mesh is not None:
         from .parallel import make_parallel_render
 
         n_dev = mesh.devices.size

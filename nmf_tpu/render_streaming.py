@@ -1,0 +1,123 @@
+"""Streaming inference renderer (reference ``kernel_march_rays`` /
+``composite_rays``, raymarching.cu:660-800 + raymarching_full.py:290-366):
+incremental alive-ray marching for memory-bounded evaluation.
+
+TPU-native redesign: the CUDA path keeps an ``n_alive`` compaction queue and
+launches a kernel per round; here a single ``lax.while_loop`` carries
+``(t, T, rgb, depth, acc)`` for ALL rays in the batch and composites
+fixed-size sample blocks per iteration. Rays whose running transmittance
+drops below ``t_thresh`` stop contributing through the mask, and the loop
+exits as soon as every ray is terminated -- on real scenes this bounds work
+at roughly the occupied span, the same effect as the CUDA alive-queue but
+with static shapes. Peak memory is O(B * block) instead of the batch
+renderer's O(B * K): block=64 on a 4096-ray batch materializes 256k samples
+at a time regardless of how long the AABB span is.
+
+Only local-shading models stream (tensorf / refnerf: radiance is a pure
+per-sample function). The microfacet model needs the full transmittance
+field up front to budget its bounce rays; the reference's streaming path
+likewise only supported plain per-sample compositing (composite_rays takes
+precomputed per-sample rgbs).
+
+The per-block transmittance recurrence reproduces ``ops.masked.raw2alpha``
+exactly: within a block w = T_in * exclusive_cumprod(1 - alpha + 1e-10) *
+alpha, and T_out = T_in * prod(1 - alpha + 1e-10), so chaining blocks gives
+the identical weights as one global cumprod (the parity test drives both to
+float tolerance).
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+
+from .ops.tonemap import get_tonemap
+
+
+def render_streaming(nmf, rays, key=None, focal: float = 1.0,
+                     block: int = 64, t_thresh: float = 1e-4,
+                     bg_col=(1.0, 1.0, 1.0), tonemap: bool = True):
+    """Render a ray batch by streaming fixed-size sample blocks.
+
+    rays: (B, 6). Returns an images dict {rgb_map, acc_map, depth} with
+    leading dim B. jit-compatible (static shapes; the while_loop trip count
+    is data-dependent but bounded by the near/far span).
+    """
+    if hasattr(nmf.model, "brdf") or hasattr(nmf.model, "model1"):
+        raise ValueError(
+            "render_streaming supports local-shading models only "
+            "(tensorf/refnerf); the microfacet model needs the full "
+            "transmittance field to budget bounce rays")
+    rf, sampler = nmf.rf, nmf.sampler
+    near, far = sampler.near_far
+    stepsize = float(sampler.stepsize)
+    n_blocks = max(-(-int(math.ceil((far - near) / stepsize)) // block), 1)
+
+    B = rays.shape[0]
+    o, d = rays[:, 0:3], rays[:, 3:6]
+    vec = jnp.where(d == 0, 1e-6, d)
+    ra = (rf.aabb[1] - o) / vec
+    rb = (rf.aabb[0] - o) / vec
+    t_min = jnp.clip(jnp.minimum(ra, rb).max(-1), near, far)
+
+    needs_normals = nmf.model.needs_normals(0)
+    use_alpha_mask = (getattr(sampler, "alpha_mask", None) is not None
+                      and getattr(sampler, "enable_alpha_mask", False))
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    def cond(state):
+        i, T, _, _, _ = state
+        return (i < n_blocks) & jnp.any(T > t_thresh)
+
+    def body(state):
+        i, T, rgb_acc, depth_acc, acc = state
+        offs = i * block + jnp.arange(block, dtype=jnp.float32)
+        z = t_min[:, None] + stepsize * offs[None, :]          # (B, block)
+        pts = o[:, None] + d[:, None] * z[..., None]           # (B, block, 3)
+        mask = jnp.all((pts >= rf.aabb[0]) & (pts <= rf.aabb[1]), -1)
+        mask &= (T > t_thresh)[:, None]
+        if use_alpha_mask:
+            mask &= sampler.alpha_mask.sample_alpha(pts) > 0
+
+        xyz = jnp.concatenate([pts, z[..., None] / focal],
+                              -1).reshape(-1, 4)
+        sigma = rf.compute_densityfeature(xyz).reshape(B, block)
+        sigma = jnp.where(mask, sigma, 0.0)
+        alpha = 1.0 - jnp.exp(-sigma * stepsize * rf.distance_scale)
+        one_m = 1.0 - alpha + 1e-10  # matches raw2alpha's cumprod guard
+        t_excl = jnp.cumprod(jnp.concatenate(
+            [jnp.ones((B, 1)), one_m[:, :-1]], axis=1), axis=1)
+        w = T[:, None] * t_excl * alpha                        # (B, block)
+
+        app = rf.compute_appfeature(xyz)
+        normals = (rf.compute_normals(xyz) if needs_normals
+                   else jnp.zeros((B * block, 3)))
+        viewdirs = jnp.broadcast_to(d[:, None], (B, block, 3)).reshape(-1, 3)
+        rgb_s, _ = nmf.model.shade(
+            xyz, rf.normalize_coord(xyz), app, viewdirs, normals,
+            w.reshape(-1), mask.reshape(-1), B, render_reflection=None,
+            bg_module=nmf.bg_module, bg_cache=None, is_train=False,
+            recur=0, key=key)
+        rgb_s = rgb_s.reshape(B, block, 3)
+
+        rgb_acc = rgb_acc + (w[..., None] * rgb_s).sum(axis=1)
+        depth_acc = depth_acc + (w * z).sum(axis=1)
+        acc = acc + w.sum(axis=1)
+        T = T * jnp.prod(one_m, axis=1)
+        return i + 1, T, rgb_acc, depth_acc, acc
+
+    state = (jnp.zeros((), jnp.int32), jnp.ones((B,)),
+             jnp.zeros((B, 3)), jnp.zeros((B,)), jnp.zeros((B,)))
+    _, T, rgb_acc, depth_acc, acc = jax.lax.while_loop(cond, body, state)
+
+    tm_fn, _ = get_tonemap(nmf.tonemap)
+    if nmf.bg_module is not None and bg_col is None:
+        bg = nmf.bg_module(d, jnp.full((B,), -100.0)).reshape(-1, 3)
+        if tonemap:
+            bg = tm_fn(bg, noclip=True)
+    else:
+        bg = jnp.asarray(bg_col if bg_col is not None else (0.0, 0.0, 0.0)
+                         ).reshape(1, 3)
+    rgb_map = tm_fn(rgb_acc, noclip=nmf.hdr) if tonemap else rgb_acc
+    rgb_map = rgb_map + (1 - acc[..., None]) * bg
+    return {"rgb_map": rgb_map, "acc_map": acc, "depth": depth_acc}

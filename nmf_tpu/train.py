@@ -396,7 +396,8 @@ def render_test(cfg, log=print):
         mesh = make_mesh(min(n_mesh, jax.device_count()))
     res = eval_lib.evaluate(nmf, test_ds, key,
                             save_dir=str(logfolder / "imgs_render"),
-                            n_vis=cfg.get("N_vis", -1), mesh=mesh)
+                            n_vis=cfg.get("N_vis", -1), mesh=mesh,
+                            streaming=bool(cfg.get("stream", False)))
     log(f"render_test: {res}")
     return nmf, res
 
