@@ -232,7 +232,9 @@ def load_dataset(cfg_dataset, datadir, split="train", n_vis=-1):
         ds = make_shiny_dataset(
             n_views=n_views, H=size, W=size, split=split,
             env_bg=cfg_dataset.get("env_bg", False),
-            hemisphere=cfg_dataset.get("hemisphere", False))
+            hemisphere=cfg_dataset.get("hemisphere", False),
+            interreflect=cfg_dataset.get("interreflect", True),
+            n_gi_samples=cfg_dataset.get("n_gi_samples", 64))
     else:
         raise ValueError(f"unknown dataset {name}")
     if "near_far" in cfg_dataset and cfg_dataset["near_far"]:

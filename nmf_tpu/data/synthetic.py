@@ -209,41 +209,141 @@ class _ShinyEnv:
         return self._bilinear(self.irr, r, c)
 
 
-def _shiny_first_hit(rays_o, rays_d):
+def _shiny_first_hit(rays_o, rays_d, exclude=None):
     N = rays_o.shape[0]
     best_t = np.full(N, np.inf)
     idx = np.full(N, -1)
     for i, (c, rad, *_rest) in enumerate(_SHINY_SPHERES):
         hit, t, _ = _sphere_hit(rays_o, rays_d, c, rad)
+        if exclude is not None:
+            hit = hit & (exclude != i)
         closer = hit & (t < best_t)
         best_t[closer] = t[closer]
         idx[closer] = i
     return idx, best_t
 
 
-def render_shiny_scene(rays_o, rays_d, env: "_ShinyEnv"):
-    """Analytic GT shade. Returns (rgb linear fg, alpha, normals, tints)."""
+def _shiny_mats(idx):
+    """Per-point material arrays for sphere indices idx (N,)."""
+    albedo = np.stack([s[2] for s in _SHINY_SPHERES])[idx]
+    f0 = np.stack([s[3] for s in _SHINY_SPHERES])[idx]
+    rough = np.asarray([s[4] for s in _SHINY_SPHERES])[idx]
+    return albedo, f0, rough
+
+
+def _shiny_direct_shade(idx, n, v, env):
+    """Direct (environment-only) split-sum shade of sphere surface points:
+    Fresnel x roughness-prefiltered env along the mirror direction plus
+    (1-F) x albedo x irradiance. idx: (N,) sphere index; v points TOWARD
+    the eye. Returns (rgb linear (N,3), F (N,3))."""
+    albedo, f0, rough = _shiny_mats(idx)
+    cos = np.clip((n * v).sum(-1), 0, 1)[:, None]
+    F = f0 + (1 - f0) * (1 - cos) ** 5
+    refl = -v + 2 * cos * n
+    spec = F * env.radiance(refl, rough)
+    diff = albedo * env.irradiance(n)
+    return spec + (1 - F) * diff, F
+
+
+def _frame(z):
+    """Orthonormal tangent frame for (N,3) unit vectors z."""
+    h = np.where(np.abs(z[:, 2:3]) < 0.9,
+                 np.array([0.0, 0.0, 1.0]), np.array([1.0, 0.0, 0.0]))
+    x = np.cross(h, z)
+    x /= np.linalg.norm(x, axis=-1, keepdims=True)
+    return x, np.cross(z, x)
+
+
+def _interreflection_delta(idx, p, n, v, env, rng, n_spec=64, n_diff=64):
+    """MC occlusion/interreflection correction to the split-sum shade.
+
+    The base GT treats the environment as unoccluded, but a physically
+    based renderer (the microfacet model retraces bounce rays against the
+    learned field; recur=1 shades the hit with env-only light, exactly
+    one bounce) sees the neighboring spheres in reflections and loses
+    their blocked env light. Measured on the shipped scene, ~6% of
+    foreground pixels have mirror rays hitting a neighbor -- GT without
+    this term caps the achievable test PSNR and actively mis-supervises
+    the retrace path.
+
+    Ratio-estimator form keeps the clean analytic base everywhere: only
+    samples that HIT a neighbor contribute (L_neighbor - L_env), so MC
+    noise scales with the correction, not the full radiance:
+      delta = F * E_lobe[(L_hit - env) 1{hit}]
+            + (1-F) * albedo * E_cos[(L_hit - env) 1{hit}]
+    Specular samples draw from a power-cosine lobe about the mirror
+    direction with exponent 2/rough^2 - 2 (Phong-equivalent width of the
+    prefilter); L_hit is the neighbor's direct shade (matches the model's
+    one-bounce depth). Below-horizon lobe samples are skipped (a convex
+    sphere self-occludes there; the prefiltered base makes the same
+    approximation)."""
+    N = p.shape[0]
+    albedo, f0, rough = _shiny_mats(idx)
+    cos = np.clip((n * v).sum(-1), 0, 1)[:, None]
+    F = f0 + (1 - f0) * (1 - cos) ** 5
+    refl = -v + 2 * cos * n
+    m_exp = np.clip(2.0 / (rough ** 2 + 1e-8) - 2.0, 1.0, 1e7)
+    centers = np.stack([s[0] for s in _SHINY_SPHERES])
+    radii = np.asarray([s[1] for s in _SHINY_SPHERES])
+
+    def run(axis, n_samp, cosine):
+        xs, ys = _frame(axis)
+        acc = np.zeros((N, 3), np.float32)
+        s1 = int(np.sqrt(n_samp))
+        s2 = max(n_samp // s1, 1)
+        for k in range(s1 * s2):
+            # 2D-stratify (polar, azimuth): the variance is binary neighbor
+            # visibility times the env's 40x sun; jittered strata localize
+            # the hit/miss boundary within each cell
+            u1 = (k // s2 + rng.random(N)) / s1
+            u2 = (k % s2 + rng.random(N)) / s2
+            ct = np.sqrt(u1) if cosine else u1 ** (1.0 / (m_exp + 1.0))
+            st = np.sqrt(np.maximum(1 - ct * ct, 0))
+            ph = 2 * np.pi * u2
+            w = (xs * (st * np.cos(ph))[:, None]
+                 + ys * (st * np.sin(ph))[:, None] + axis * ct[:, None])
+            up = (w * n).sum(-1) > 1e-4
+            hi, t = _shiny_first_hit(p + 1e-4 * w, w, exclude=idx)
+            hm = up & (hi >= 0)
+            if hm.any():
+                q = p[hm] + t[hm][:, None] * w[hm]
+                nq = (q - centers[hi[hm]]) / radii[hi[hm]][:, None]
+                lq, _ = _shiny_direct_shade(hi[hm], nq, -w[hm], env)
+                acc[hm] += lq - env.radiance(w[hm])
+        return acc / (s1 * s2)
+
+    delta = F * run(refl, n_spec, cosine=False)
+    delta += (1 - F) * albedo * run(n, n_diff, cosine=True)
+    return delta.astype(np.float32)
+
+
+def render_shiny_scene(rays_o, rays_d, env: "_ShinyEnv", interreflect=False,
+                       rng=None, n_gi_samples=64):
+    """Analytic GT shade. Returns (rgb linear fg, alpha, normals, tints).
+    interreflect=True adds the one-bounce neighbor-reflection/occlusion
+    correction (see _interreflection_delta)."""
     N = rays_o.shape[0]
     idx, t = _shiny_first_hit(rays_o, rays_d)
     hit = idx >= 0
     rgb = env.radiance(rays_d)  # background radiance
     normals = np.zeros((N, 3), np.float32)
     tints = np.zeros((N, 3), np.float32)
-    for i, (c, rad, albedo, f0, rough) in enumerate(_SHINY_SPHERES):
-        m = idx == i
-        if not m.any():
-            continue
-        p = rays_o[m] + t[m][:, None] * rays_d[m]
-        n = (p - c) / rad
-        v = -rays_d[m]
-        cos = np.clip((n * v).sum(-1), 0, 1)[:, None]
-        F = f0[None] + (1 - f0[None]) * (1 - cos) ** 5
-        refl = rays_d[m] + 2 * cos * n
-        spec = F * env.radiance(refl, np.full(m.sum(), rough))
-        diff = albedo[None] * env.irradiance(n)
-        rgb[m] = spec + (1 - F) * diff
-        normals[m] = n
-        tints[m] = f0[None]
+    if hit.any():
+        p = rays_o[hit] + t[hit][:, None] * rays_d[hit]
+        centers = np.stack([s[0] for s in _SHINY_SPHERES])
+        radii = np.asarray([s[1] for s in _SHINY_SPHERES])
+        n = (p - centers[idx[hit]]) / radii[idx[hit]][:, None]
+        v = -rays_d[hit]
+        shade, _ = _shiny_direct_shade(idx[hit], n, v, env)
+        if interreflect:
+            rng = rng or np.random.default_rng(0)
+            shade = shade + _interreflection_delta(
+                idx[hit], p, n, v, env, rng,
+                n_spec=n_gi_samples, n_diff=n_gi_samples)
+        _, f0, _ = _shiny_mats(idx[hit])
+        rgb[hit] = shade
+        normals[hit] = n
+        tints[hit] = f0
     return rgb.astype(np.float32), hit.astype(np.float32), normals, tints
 
 
@@ -256,7 +356,8 @@ def _np_srgb(x):
 
 def make_shiny_dataset(n_views=24, H=128, W=128, radius=3.2, seed=0,
                        phi_deg=-25.0, split="train", env=None,
-                       env_bg=False, hemisphere=False):
+                       env_bg=False, hemisphere=False, interreflect=True,
+                       n_gi_samples=64):
     """Protocol scene (see module header). all_rgbs is RGBA (tonemapped
     foreground + alpha) so training can blend random backgrounds like the
     blender loader; test views sit between train azimuths.
@@ -269,8 +370,14 @@ def make_shiny_dataset(n_views=24, H=128, W=128, radius=3.2, seed=0,
     with stratified azimuth x golden-ratio elevations over [-10, -60] deg
     (the blender protocol's upper-hemisphere coverage; two rings leave
     vertical parallax unconstrained and a 30k specular fit collapses into
-    view-dependent floaters)."""
+    view-dependent floaters). interreflect=True (protocol v3 default) adds
+    the one-bounce neighbor-reflection/occlusion MC correction so the GT
+    is consistent with a physically based renderer (the blender scenes the
+    reference trains on are path traced); costs ~1-2 min host time per
+    split at 400px."""
     env = env or _ShinyEnv()
+    gi_rng = np.random.default_rng(
+        seed + (7 if split == "train" else 117) + 1000)
     focal = 0.5 * W / np.tan(0.5 * np.deg2rad(55.0))
     directions = get_ray_directions_blender(H, W, [focal, focal])
     directions = directions / np.linalg.norm(directions, axis=-1,
@@ -292,7 +399,9 @@ def make_shiny_dataset(n_views=24, H=128, W=128, radius=3.2, seed=0,
         c2w = pose_spherical(thetas[i], view_phis[i], radius)
         poses.append(c2w)
         rays_o, rays_d = get_rays(directions, c2w)
-        rgb, alpha, norms, tints = render_shiny_scene(rays_o, rays_d, env)
+        rgb, alpha, norms, tints = render_shiny_scene(
+            rays_o, rays_d, env, interreflect=interreflect, rng=gi_rng,
+            n_gi_samples=n_gi_samples)
         ldr = np.clip(_np_srgb(np.clip(rgb, 0, None)), 0, 1)
         if env_bg:
             rgba = np.concatenate([ldr, np.ones_like(alpha)[:, None]], -1)

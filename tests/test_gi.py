@@ -1,0 +1,112 @@
+"""Protocol-scene GT physical consistency (interreflection correction).
+
+The analytic base GT treats the env as unoccluded; a physically based
+renderer sees neighbors in reflections. These oracles pin the MC
+correction's sign, locality, and convergence."""
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+from nmf_tpu.data.synthetic import (_SHINY_SPHERES, _ShinyEnv, _sphere_hit,
+                                    _shiny_first_hit, render_shiny_scene)
+
+
+def _view_rays(H=64, W=64, radius=3.2, theta=30.0, phi=-25.0):
+    from nmf_tpu.data.ray_utils import (get_ray_directions_blender, get_rays,
+                                        pose_spherical)
+
+    focal = 0.5 * W / np.tan(0.5 * np.deg2rad(55.0))
+    dirs = get_ray_directions_blender(H, W, [focal, focal])
+    dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    return get_rays(dirs, pose_spherical(theta, phi, radius))
+
+
+class TestInterreflection:
+    def setup_method(self):
+        self.env = _ShinyEnv()
+        self.o, self.d = _view_rays()
+
+    def test_correction_localized_to_blocked_pixels(self):
+        """Pixels whose mirror ray misses every neighbor must be (nearly)
+        unchanged; changed pixels must be foreground."""
+        base, alpha, _, _ = render_shiny_scene(self.o, self.d, self.env,
+                                               interreflect=False)
+        rng = np.random.default_rng(3)
+        corr, _, _, _ = render_shiny_scene(self.o, self.d, self.env,
+                                           interreflect=True, rng=rng,
+                                           n_gi_samples=32)
+        diff = np.abs(corr - base).max(-1)
+        fg = alpha > 0
+        assert diff[~fg].max() == 0.0  # background untouched
+        # mirror-blocked pixels: where does the specular ray hit a neighbor
+        idx, t = _shiny_first_hit(self.o, self.d)
+        m = fg.copy()
+        p = self.o[m] + t[m][:, None] * self.d[m]
+        centers = np.stack([s[0] for s in _SHINY_SPHERES])
+        radii = np.asarray([s[1] for s in _SHINY_SPHERES])
+        n = (p - centers[idx[m]]) / radii[idx[m]][:, None]
+        cos = np.clip((n * -self.d[m]).sum(-1), 0, 1)[:, None]
+        refl = self.d[m] + 2 * cos * n
+        hi, _ = _shiny_first_hit(p + 1e-4 * refl, refl, exclude=idx[m])
+        blocked = hi >= 0
+        assert blocked.any()
+        # the strongly changed pixels should be dominated by blocked ones
+        changed = diff[m] > 0.05
+        if changed.any():
+            assert blocked[changed].mean() > 0.5
+        # and the mean |delta| on blocked pixels far exceeds unblocked ones
+        assert diff[m][blocked].mean() > 4 * diff[m][~blocked].mean()
+
+    def test_mc_converges(self):
+        """Two independent sample sets agree (noise << signal)."""
+        r1, _, _, _ = render_shiny_scene(
+            self.o, self.d, self.env, interreflect=True,
+            rng=np.random.default_rng(1), n_gi_samples=64)
+        r2, _, _, _ = render_shiny_scene(
+            self.o, self.d, self.env, interreflect=True,
+            rng=np.random.default_rng(2), n_gi_samples=64)
+        base, _, _, _ = render_shiny_scene(self.o, self.d, self.env,
+                                           interreflect=False)
+        noise = np.abs(r1 - r2).mean()
+        signal = np.abs((r1 + r2) / 2 - base).mean()
+        assert noise < 0.35 * signal, (noise, signal)
+
+    def test_far_spheres_zero_correction(self):
+        """Widely separated spheres -> no occlusion -> corrected == base."""
+        import nmf_tpu.data.synthetic as syn
+
+        saved = syn._SHINY_SPHERES
+        try:
+            syn._SHINY_SPHERES = [
+                (np.array([-50.0, 0.0, 0.0]), 0.4, np.array([0.2, 0.1, 0.1]),
+                 np.array([0.9, 0.7, 0.3]), 0.1),
+                (np.array([50.0, 0.0, 0.0]), 0.4, np.array([0.1, 0.1, 0.3]),
+                 np.array([0.04, 0.04, 0.04]), 0.4),
+            ]
+            o, d = _view_rays(radius=60.0)
+            base, _, _, _ = render_shiny_scene(o, d, self.env,
+                                               interreflect=False)
+            corr, _, _, _ = render_shiny_scene(
+                o, d, self.env, interreflect=True,
+                rng=np.random.default_rng(0), n_gi_samples=16)
+            np.testing.assert_allclose(corr, base, atol=1e-6)
+        finally:
+            syn._SHINY_SPHERES = saved
+
+    def test_dataset_flag_plumbed(self):
+        from nmf_tpu.data.blender import load_dataset
+
+        cfg = {"dataset_name": "synthetic_shiny", "image_size": 24,
+               "n_views": 2, "scenedir": "shiny", "hemisphere": True,
+               "interreflect": True, "n_gi_samples": 8}
+        ds = load_dataset(cfg, "/tmp", split="train")
+        cfg2 = dict(cfg, interreflect=False)
+        ds2 = load_dataset(cfg2, "/tmp", split="train")
+        assert not np.allclose(ds["all_rgbs"], ds2["all_rgbs"])
+        # rays/alpha/normals identical -- only radiance changes
+        np.testing.assert_allclose(ds["all_rays"], ds2["all_rays"])
+        np.testing.assert_allclose(ds["all_rgbs"][:, 3], ds2["all_rgbs"][:, 3])
+        np.testing.assert_allclose(ds["all_norms"], ds2["all_norms"])
