@@ -40,6 +40,67 @@ def calibrate_model(nmf: NMF, key):
     return nmf.replace(model=new_model)
 
 
+def pretrain_density(nmf: NMF, key, start_density: float, log=print):
+    """Startup density calibration (reference train.py:366-419): either
+    ``field.num_pretrain`` Adam(lr=5e-3) iterations fitting the alpha of
+    20k random in-bbox points to ``params.start_density`` (+-10% noise), or
+    the analytic ``field.calibrate`` density_shift solve (assumes an
+    exponential-family activation like the reference). Gradients flow to
+    the density factors only (density_rf + dbasis_mat); the reference
+    optimizes all parameters but only the density path touches this loss."""
+    rf = nmf.rf
+    stepsize = nmf.sampler.stepsize
+    n = int(getattr(rf, "num_pretrain", 0) or 0)
+    if n <= 0 or not hasattr(rf, "density_rf"):
+        if getattr(rf, "calibrate", False):
+            k1, _ = jax.random.split(key)
+            xyz3 = (jax.random.uniform(k1, (20000, 3)) * 2 - 1) * rf.aabb[1]
+            xyz = jnp.concatenate([xyz3, jnp.zeros((20000, 1))], -1)
+            sigma = rf.compute_densityfeature(xyz)
+            target = (-math.log(1 - start_density)
+                      / (stepsize * rf.distance_scale))
+            shift = (math.log(target)
+                     - math.log(max(float(sigma.mean()), 1e-12)))
+            rf = rf.replace(density_shift=float(rf.density_shift) + shift)
+            log(f"density_shift calibrated -> {rf.density_shift:.3f}")
+            return nmf.replace(rf=rf)
+        return nmf
+
+    import optax
+
+    tx = optax.adam(5e-3, b1=0.9, b2=0.99)
+    params = (rf.density_rf, rf.dbasis_mat)
+    opt_state = tx.init(params)
+    dist_scale = rf.distance_scale
+
+    @jax.jit
+    def step(params, opt_state, key):
+        def loss_fn(params):
+            k1, k2 = jax.random.split(key)
+            rf2 = rf.replace(density_rf=params[0], dbasis_mat=params[1])
+            xyz3 = (jax.random.uniform(k1, (20000, 3)) * 2 - 1) * rf2.aabb[1]
+            xyz = jnp.concatenate([xyz3, jnp.zeros((20000, 1))], -1)
+            sigma = rf2.compute_densityfeature(xyz)
+            alpha = 1 - jnp.exp(-sigma * stepsize * dist_scale)
+            target = start_density * (
+                1 + 0.1 * jax.random.normal(k2, alpha.shape))
+            return jnp.abs(alpha - target).mean(), alpha.mean()
+
+        (_, alpha_mean), g = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(g, opt_state)
+        return optax.apply_updates(params, updates), new_opt, alpha_mean
+
+    alpha_mean = 0.0
+    for _ in range(n):
+        key, sk = jax.random.split(key)
+        params, opt_state, alpha_mean = step(params, opt_state, sk)
+    log(f"pretrain density: mean alpha {float(alpha_mean):.6f} "
+        f"after {n} iters (target {start_density})")
+    return nmf.replace(rf=rf.replace(density_rf=params[0],
+                                     dbasis_mat=params[1]))
+
+
 def make_loss_weights(params, iteration=0, ori_mult=1.0, pred_mult=1.0):
     return trainer.LossWeights(
         ori_lambda=params.get("ori_lambda", 0.0) * ori_mult,
@@ -97,6 +158,10 @@ def reconstruction(cfg, log=print):
     elif cfg.get("ckpt"):
         nmf, _, _ = ckpt_lib.load(cfg["ckpt"])
 
+    if start_iter == 0 and not cfg.get("ckpt"):
+        key, pk = jax.random.split(key)
+        nmf = pretrain_density(
+            nmf, pk, float(params.get("start_density", 5e-3)), log=log)
     nmf = nmf.replace(sampler=nmf.sampler.update(nmf.rf, init=True))
     key, ckey = jax.random.split(key)
     if start_iter == 0:

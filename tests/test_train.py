@@ -168,6 +168,48 @@ class TestOverfit:
         steps = [r["step"] for r in recs if "psnr" in r and "step" in r]
         assert steps and min(steps) >= 4, steps  # no pre-resume iterations
 
+    def test_pretrain_density_and_calibrate(self):
+        """Startup density calibration (reference train.py:366-419): both
+        the num_pretrain SGD fit and the analytic calibrate shift must move
+        the mean alpha of random points to start_density."""
+        from nmf_tpu import config as config_lib
+        from nmf_tpu.builders import build_nmf
+        from nmf_tpu.train import pretrain_density
+
+        cfg = config_lib.compose([
+            "model=tensorf", "field.N_voxel_init=8000",
+            "field.N_voxel_final=8000", "field.upsamp_list=[]",
+            "field.init_mode=randn", "field.d_init_val=0.3"])
+        aabb = np.array([[-1.5] * 3, [1.5] * 3], np.float32)
+        key = jax.random.PRNGKey(0)
+        nmf = build_nmf(key, cfg["model"]["arch"], aabb, (2.0, 6.0))
+
+        def mean_alpha(nmf):
+            xyz3 = (jax.random.uniform(jax.random.PRNGKey(9),
+                                       (20000, 3)) * 2 - 1) * nmf.rf.aabb[1]
+            xyz = jnp.concatenate([xyz3, jnp.zeros((20000, 1))], -1)
+            sigma = nmf.rf.compute_densityfeature(xyz)
+            a = 1 - jnp.exp(-sigma * nmf.sampler.stepsize
+                            * nmf.rf.distance_scale)
+            return float(a.mean())
+
+        target = 5e-3
+        # (a) SGD pretrain
+        nmf_a = nmf.replace(rf=nmf.rf.replace(num_pretrain=60))
+        nmf_a = pretrain_density(nmf_a, jax.random.PRNGKey(1), target,
+                                 log=lambda *a: None)
+        a = mean_alpha(nmf_a)
+        assert abs(a - target) < 0.6 * target, a
+        # (b) analytic shift (exact for the exponential activation)
+        nmf_b = nmf.replace(rf=nmf.rf.replace(calibrate=True,
+                                              activation="exp"))
+        before = mean_alpha(nmf_b)
+        nmf_b = pretrain_density(nmf_b, jax.random.PRNGKey(2), target,
+                                 log=lambda *a: None)
+        b = mean_alpha(nmf_b)
+        assert abs(b - target) < abs(before - target), (before, b)
+        assert abs(b - target) < 0.5 * target, b
+
 
 class TestConfig:
     def test_compose_defaults(self):
