@@ -176,7 +176,8 @@ def reconstruction(cfg, log=print):
         lr_final=params.get("lr_final", 1e-3),
         lr_delay_steps=int(params.get("lr_delay_steps", 100)),
         lr_delay_mult=params.get("lr_delay_mult", 0.1),
-        n_iters=n_iters)
+        n_iters=n_iters,
+        clip_grad=params.get("clip_grad"))
 
     # device-resident ray store (reference keeps its store on-GPU,
     # train.py:333-334): per-step host traffic is just ids + one scalar

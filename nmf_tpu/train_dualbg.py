@@ -66,7 +66,8 @@ def reconstruction_dual(cfg, log=print):
     opt_cfg = trainer.OptimConfig(
         betas=tuple(params.get("betas", (0.9, 0.99))),
         n_iters=n_iters,
-        lr_delay_steps=int(params.get("lr_delay_steps", 100)))
+        lr_delay_steps=int(params.get("lr_delay_steps", 100)),
+        clip_grad=params.get("clip_grad"))
 
     key, base_key = jax.random.split(key)
 

@@ -112,6 +112,9 @@ class OptimConfig(NamedTuple):
     lr_delay_steps: int = 100
     lr_delay_mult: float = 0.1
     n_iters: int = 30000
+    # global grad-norm clip applied before Adam (reference train.py:744-745
+    # torch.nn.utils.clip_grad_norm_; tensorf/refnerf_tcnn configs ship 10)
+    clip_grad: Optional[float] = None
 
 
 def group_hyperparams(nmf: NMF, cfg: OptimConfig):
@@ -173,7 +176,10 @@ def make_optimizer(nmf: NMF, cfg: OptimConfig, fused: bool = True):
         # (bg `mul`, betas (0.9, 0.9)) has lr 0 in shipped configs.
         lr_tree = jax.tree_util.tree_map(
             lambda label: groups[label][0], labels)
+        clip = ((optax.clip_by_global_norm(cfg.clip_grad),)
+                if cfg.clip_grad else ())
         return optax.chain(
+            *clip,
             optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1],
                                 eps=cfg.eps),
             _scale_by_lr_tree(lr_tree),
@@ -189,6 +195,8 @@ def make_optimizer(nmf: NMF, cfg: OptimConfig, fused: bool = True):
                 optax.scale_by_schedule(lambda c, _lr=lr: -_lr * sched(c)),
             )
     tx = optax.multi_transform(transforms, labels)
+    if cfg.clip_grad:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.clip_grad), tx)
     return tx
 
 

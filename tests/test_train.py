@@ -277,6 +277,33 @@ class TestFusedOptimizer:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-8)
 
+    def test_clip_grad(self):
+        """params.clip_grad maps to a global-norm clip before Adam
+        (reference train.py:744-745). A huge threshold is a no-op; a tiny
+        one changes the very first Adam moments."""
+        ds = make_sphere_dataset(n_views=1, H=16, W=16)
+        key = jax.random.PRNGKey(0)
+        nmf = build_small(key, ds, grid=16, k_spr=16)
+        grads = jax.tree_util.tree_map(jnp.ones_like, nmf)
+        base = trainer.make_optimizer(nmf, trainer.OptimConfig(n_iters=100))
+        huge = trainer.make_optimizer(
+            nmf, trainer.OptimConfig(n_iters=100, clip_grad=1e12))
+        tiny = trainer.make_optimizer(
+            nmf, trainer.OptimConfig(n_iters=100, clip_grad=1e-3))
+        u0, s0 = base.update(grads, base.init(nmf), params=nmf)
+        uh, _ = huge.update(grads, huge.init(nmf), params=nmf)
+        ut, _ = tiny.update(grads, tiny.init(nmf), params=nmf)
+        # second step with the same grads: moments now differ under clip
+        u0b, _ = base.update(grads, s0, params=nmf)
+        for a, b in zip(jax.tree_util.tree_leaves(u0),
+                        jax.tree_util.tree_leaves(uh)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6)
+        diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                 for a, b in zip(jax.tree_util.tree_leaves(u0),
+                                 jax.tree_util.tree_leaves(ut))]
+        assert max(diffs) > 1e-6, diffs
+
     def test_frozen_leaves_stay_frozen(self):
         ds = make_sphere_dataset(n_views=1, H=16, W=16)
         key = jax.random.PRNGKey(1)
