@@ -177,7 +177,8 @@ def reconstruction(cfg, log=print):
         lr_delay_steps=int(params.get("lr_delay_steps", 100)),
         lr_delay_mult=params.get("lr_delay_mult", 0.1),
         n_iters=n_iters,
-        clip_grad=params.get("clip_grad"))
+        clip_grad=params.get("clip_grad"),
+        weight_decay=float(params.get("weight_decay", 0) or 0))
 
     # device-resident ray store (reference keeps its store on-GPU,
     # train.py:333-334): per-step host traffic is just ids + one scalar

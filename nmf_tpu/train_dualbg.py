@@ -67,7 +67,8 @@ def reconstruction_dual(cfg, log=print):
         betas=tuple(params.get("betas", (0.9, 0.99))),
         n_iters=n_iters,
         lr_delay_steps=int(params.get("lr_delay_steps", 100)),
-        clip_grad=params.get("clip_grad"))
+        clip_grad=params.get("clip_grad"),
+        weight_decay=float(params.get("weight_decay", 0) or 0))
 
     key, base_key = jax.random.split(key)
 

@@ -115,6 +115,9 @@ class OptimConfig(NamedTuple):
     # global grad-norm clip applied before Adam (reference train.py:744-745
     # torch.nn.utils.clip_grad_norm_; tensorf/refnerf_tcnn configs ship 10)
     clip_grad: Optional[float] = None
+    # torch-Adam style L2: wd*param added to the gradient before the
+    # moments (reference init_optimizer passes params.weight_decay)
+    weight_decay: float = 0.0
 
 
 def group_hyperparams(nmf: NMF, cfg: OptimConfig):
@@ -176,10 +179,13 @@ def make_optimizer(nmf: NMF, cfg: OptimConfig, fused: bool = True):
         # (bg `mul`, betas (0.9, 0.9)) has lr 0 in shipped configs.
         lr_tree = jax.tree_util.tree_map(
             lambda label: groups[label][0], labels)
-        clip = ((optax.clip_by_global_norm(cfg.clip_grad),)
-                if cfg.clip_grad else ())
+        pre = []
+        if cfg.clip_grad:
+            pre.append(optax.clip_by_global_norm(cfg.clip_grad))
+        if cfg.weight_decay:
+            pre.append(optax.add_decayed_weights(cfg.weight_decay))
         return optax.chain(
-            *clip,
+            *pre,
             optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1],
                                 eps=cfg.eps),
             _scale_by_lr_tree(lr_tree),
@@ -195,6 +201,8 @@ def make_optimizer(nmf: NMF, cfg: OptimConfig, fused: bool = True):
                 optax.scale_by_schedule(lambda c, _lr=lr: -_lr * sched(c)),
             )
     tx = optax.multi_transform(transforms, labels)
+    if cfg.weight_decay:
+        tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay), tx)
     if cfg.clip_grad:
         tx = optax.chain(optax.clip_by_global_norm(cfg.clip_grad), tx)
     return tx

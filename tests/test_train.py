@@ -304,6 +304,28 @@ class TestFusedOptimizer:
                                  jax.tree_util.tree_leaves(ut))]
         assert max(diffs) > 1e-6, diffs
 
+    def test_weight_decay(self):
+        """params.weight_decay adds wd*param to the gradient before the
+        Adam moments (torch Adam L2 semantics): with ZERO grads the update
+        direction is -sign(param) on trainable leaves."""
+        ds = make_sphere_dataset(n_views=1, H=16, W=16)
+        key = jax.random.PRNGKey(0)
+        nmf = build_small(key, ds, grid=16, k_spr=16)
+        zgrads = jax.tree_util.tree_map(jnp.zeros_like, nmf)
+        tx = trainer.make_optimizer(
+            nmf, trainer.OptimConfig(n_iters=100, weight_decay=1e-2))
+        u, _ = tx.update(zgrads, tx.init(nmf), params=nmf)
+        pl = np.asarray(nmf.rf.density_rf.planes[0])
+        up = np.asarray(u.rf.density_rf.planes[0])
+        big = np.abs(pl) > 1e-3
+        assert big.any()
+        assert (np.sign(up[big]) == -np.sign(pl[big])).mean() > 0.99
+        tx0 = trainer.make_optimizer(
+            nmf, trainer.OptimConfig(n_iters=100, weight_decay=0.0))
+        u0, _ = tx0.update(zgrads, tx0.init(nmf), params=nmf)
+        assert float(np.abs(np.asarray(u0.rf.density_rf.planes[0])).max()) \
+            < 1e-12
+
     def test_frozen_leaves_stay_frozen(self):
         ds = make_sphere_dataset(n_views=1, H=16, W=16)
         key = jax.random.PRNGKey(1)
