@@ -101,7 +101,8 @@ def pretrain_density(nmf: NMF, key, start_density: float, log=print):
                                      dbasis_mat=params[1]))
 
 
-def make_loss_weights(params, iteration=0, ori_mult=1.0, pred_mult=1.0):
+def make_loss_weights(params, iteration=0, ori_mult=1.0, pred_mult=1.0,
+                      tv_mult=1.0):
     return trainer.LossWeights(
         ori_lambda=params.get("ori_lambda", 0.0) * ori_mult,
         pred_lambda=params.get("pred_lambda", 0.0) * pred_mult,
@@ -112,8 +113,10 @@ def make_loss_weights(params, iteration=0, ori_mult=1.0, pred_mult=1.0):
         distortion_lambda=params.get("distortion_lambda", 0.0),
         l1_weight=params.get("L1_weight_initial", 0.0),
         ortho_weight=params.get("ortho_weight", 0.0),
-        tv_weight_density=params.get("TV_weight_density", 0.0),
-        tv_weight_app=params.get("TV_weight_app", 0.0),
+        # TV weights decay by lr_factor every iteration (reference
+        # train.py:686,694 -- the classic TensoRF anneal)
+        tv_weight_density=params.get("TV_weight_density", 0.0) * tv_mult,
+        tv_weight_app=params.get("TV_weight_app", 0.0) * tv_mult,
         tv_weight_bg=params.get("TV_weight_bg", 0.0),
     )
 
@@ -222,6 +225,14 @@ def reconstruction(cfg, log=print):
 
     tx, opt_state, step_fn = init_optimizer(nmf)
 
+    # TV anneal factor (reference train.py:291-295): target_ratio^(1/iters)
+    lr_decay_iters = int(cfg.get("lr_decay_iters", -1) or -1)
+    if lr_decay_iters <= 0:
+        lr_decay_iters = n_iters
+    tv_decay = float(cfg.get("lr_decay_target_ratio",
+                             params.get("lr_decay_target_ratio", 0.1))
+                     ) ** (1.0 / lr_decay_iters)
+
     ori_decay = (math.exp(math.log(params["final_ori_lambda"]
                                    / params["ori_lambda"]) / n_iters)
                  if params.get("ori_lambda", 0) > 0
@@ -313,7 +324,7 @@ def reconstruction(cfg, log=print):
                 mesh=mesh)
         return chain_fn
 
-    ori_mult, pred_mult = 1.0, 1.0
+    ori_mult, pred_mult, tv_mult = 1.0, 1.0, 1.0
     psnrs = []
     t_start = time.time()
     rays_done = 0
@@ -323,6 +334,7 @@ def reconstruction(cfg, log=print):
         iteration = start_iter
         ori_mult = ori_decay ** start_iter
         pred_mult = pred_decay ** start_iter
+        tv_mult = tv_decay ** start_iter
         cur_bs = fit_bs(int(resume_extra.get("cur_bs", cur_bs)))
         evs, uf = event_iters()
         if any(e <= start_iter for e in evs) or (uf and start_iter >= uf):
@@ -333,7 +345,8 @@ def reconstruction(cfg, log=print):
         for j in range(k):
             it = iteration + j
             bg_col = trainer.bg_col_for(bg_mode, rng)
-            weights = make_loss_weights(params, it, ori_mult, pred_mult)
+            weights = make_loss_weights(params, it, ori_mult, pred_mult,
+                                        tv_mult)
             if it > 0 and params.get("L1_weight_rest") is not None \
                     and l1_rest_at:
                 weights = weights._replace(
@@ -343,6 +356,7 @@ def reconstruction(cfg, log=print):
                 trainer.pack_step_scalars(it, bg_col, weights)))
             ori_mult *= ori_decay
             pred_mult *= pred_decay
+            tv_mult *= tv_decay
         if k == 1:
             nmf, opt_state, metrics = step_fn(
                 nmf, opt_state, store_rays, store_rgba, store_norms,

@@ -168,6 +168,40 @@ class TestOverfit:
         steps = [r["step"] for r in recs if "psnr" in r and "step" in r]
         assert steps and min(steps) >= 4, steps  # no pre-resume iterations
 
+    def test_tv_weight_anneal(self, tmp_path):
+        """TV weights decay by lr_decay_target_ratio^(1/iters) per iteration
+        (reference train.py:686,694): killing the anneal (ratio=1) must give
+        a different trajectory than a near-instant one."""
+        import json
+
+        from nmf_tpu import config as config_lib
+        from nmf_tpu.train import reconstruction
+
+        def run(tag, ratio):
+            cfg = config_lib.compose([
+                "model=tensorf", "dataset=synthetic_sphere",
+                "dataset.image_size=16", "dataset.n_views=2",
+                "model.params.n_iters=8", "model.params.batch_size=64",
+                "field.N_voxel_init=4096", "field.N_voxel_final=4096",
+                "field.upsamp_list=[]", "model.arch.sampler.update_list=[]",
+                "model.arch.max_samples_per_ray=24",
+                "model.params.TV_weight_density=5.0",
+                f"lr_decay_target_ratio={ratio}",
+                "vis_every=0", "N_vis=0", "render_test=False",
+                f"basedir={tmp_path}", f"expname={tag}", "chain_steps=2",
+                "progress_refresh_rate=2"])
+            reconstruction(cfg, log=lambda *a, **k: None)
+            recs = [json.loads(l) for l in
+                    (tmp_path / f"synthetic_sphere_{tag}" / "metrics.jsonl"
+                     ).read_text().splitlines()]
+            return [r["loss"] for r in recs if "loss" in r]
+
+        flat = run("flat", 1.0)
+        fast = run("fast", 1e-12)
+        assert flat[0] != fast[-1]
+        assert any(abs(a - b) > 1e-7 for a, b in zip(flat[1:], fast[1:])), \
+            (flat, fast)
+
     def test_pretrain_density_and_calibrate(self):
         """Startup density calibration (reference train.py:366-419): both
         the num_pretrain SGD fit and the analytic calibrate shift must move
