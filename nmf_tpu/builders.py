@@ -83,6 +83,9 @@ def build_diffuse(key, cfg, app_dim):
 
         return PassthroughDiffuse()
     if t.endswith("RandHydraMLPDiffuse") or not t:
+        kw["view_encoder"] = build_encoder(kw.pop("view_encoder", None))
+        kw["roughness_view_encoder"] = build_encoder(
+            kw.pop("roughness_view_encoder", None))
         return init_rand_hydra_diffuse(key, app_dim, **kw)
     if t.endswith("HydraMLPDiffuse"):
         from .modules.render_modules import init_hydra_diffuse

@@ -83,6 +83,11 @@ class RandHydraMLPDiffuse:
     # update them without recompilation
     diffuse_bias: Any
     roughness_bias: Any
+    # optional view-direction encoders (render_modules.py:493-502,541-557):
+    # view_encoder feeds every head, roughness_view_encoder additionally
+    # feeds the roughness head only. Shipped configs set both to NULL.
+    view_encoder: Optional[Any] = None
+    roughness_view_encoder: Optional[Any] = None
     tint_bias: float = struct.field(pytree_node=False, default=0.0)
     f0_bias: float = struct.field(pytree_node=False, default=0.0)
     diffuse_mul: float = struct.field(pytree_node=False, default=1.0)
@@ -91,7 +96,7 @@ class RandHydraMLPDiffuse:
     start_roughness: float = struct.field(pytree_node=False, default=0.35)
     lr: float = struct.field(pytree_node=False, default=1e-3)
 
-    def _inputs(self, pts, features):
+    def _inputs(self, pts, features, viewdirs=None):
         size = jnp.broadcast_to(pts[..., 3:4], pts[..., :3].shape)
         p3 = pts[..., :3]
         indata = []
@@ -103,13 +108,26 @@ class RandHydraMLPDiffuse:
             indata.append(features)
         if self.feape > 0:
             indata.append(positional_encoding(features, self.feape))
-        return jnp.concatenate(indata, axis=-1)
+        if self.view_encoder is not None:
+            B = p3.shape[0]
+            rough = jnp.full((B,), 1e-3)
+            indata += [self.view_encoder(viewdirs, rough).reshape(B, -1),
+                       viewdirs]
+        return indata
 
     def __call__(self, pts, viewdirs, features, std=0.0, key=None, **kwargs):
-        mlp_in = self._inputs(pts, features)
+        indata = self._inputs(pts, features, viewdirs)
+        mlp_in = jnp.concatenate(indata, axis=-1)
+        if self.roughness_view_encoder is not None:
+            B = pts.shape[0]
+            rough = jnp.full((B,), 1e-3)
+            indata += [self.roughness_view_encoder(viewdirs, rough
+                                                   ).reshape(B, -1), viewdirs]
+        rough_in = jnp.concatenate(indata, axis=-1)
         diffuse = jax.nn.sigmoid(
             self.diffuse_mul * self.diffuse_mlp(mlp_in) + self.diffuse_bias)
-        r = jax.nn.sigmoid(self.roughness_mlp(mlp_in) + self.roughness_bias) / 2
+        r = jax.nn.sigmoid(self.roughness_mlp(rough_in)
+                           + self.roughness_bias) / 2
         # std may be a traced schedule scalar -> apply unconditionally
         if key is not None:
             kd, kr = jax.random.split(key)
@@ -147,10 +165,16 @@ def init_rand_hydra_diffuse(key, in_channels, pospe=-1, feape=0, hidden_w=64,
                             lr=1e-3, start_roughness=0.35, tint_bias=0.0,
                             diffuse_bias=-0.619, diffuse_mul=1.5,
                             roughness_bias=-1.0, f0_bias=0.0,
-                            roughness_cfg=None, **_):
+                            roughness_cfg=None, view_encoder=None,
+                            roughness_view_encoder=None, **_):
     in_mlpC = (2 * max(feape, 0) * in_channels + in_channels) if feape >= 0 else 0
     if pospe >= 0:
         in_mlpC += 2 * pospe * 3 + 3
+    if view_encoder is not None:
+        in_mlpC += view_encoder.dim() + 3
+    rough_in = in_mlpC
+    if roughness_view_encoder is not None:
+        rough_in += roughness_view_encoder.dim() + 3
     keys = jax.random.split(key, 4)
     rc = roughness_cfg or {"hidden_w": hidden_w, "num_layers": num_layers}
     mk = lambda k, out, cfg: create_mlp(
@@ -161,12 +185,14 @@ def init_rand_hydra_diffuse(key, in_channels, pospe=-1, feape=0, hidden_w=64,
         diffuse_mlp=mk(keys[0], 3, cfg),
         tint_mlp=mk(keys[1], 3, cfg),
         f0_mlp=mk(keys[2], 3, cfg),
-        roughness_mlp=create_mlp(keys[3], in_mlpC, 2,
+        roughness_mlp=create_mlp(keys[3], rough_in, 2,
                                  num_layers=rc["num_layers"],
                                  hidden_w=rc["hidden_w"],
                                  initializer=initializer),
         diffuse_bias=jnp.asarray(diffuse_bias, jnp.float32),
         roughness_bias=jnp.asarray(roughness_bias, jnp.float32),
+        view_encoder=view_encoder,
+        roughness_view_encoder=roughness_view_encoder,
         tint_bias=tint_bias, f0_bias=f0_bias, diffuse_mul=diffuse_mul,
         pospe=pospe, feape=feape, start_roughness=start_roughness, lr=lr)
 

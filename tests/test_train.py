@@ -168,6 +168,44 @@ class TestOverfit:
         steps = [r["step"] for r in recs if "psnr" in r and "step" in r]
         assert steps and min(steps) >= 4, steps  # no pre-resume iterations
 
+    def test_diffuse_view_encoders(self):
+        """view_encoder / roughness_view_encoder knobs on the diffuse head
+        (reference render_modules.py:493-557, NULL in shipped configs) build
+        through the config surface and change the roughness MLP input."""
+        from nmf_tpu import config as config_lib
+        from nmf_tpu.builders import build_nmf
+        from nmf_tpu.render import render
+
+        cfg = config_lib.compose([
+            "model=microfacet_tensorf2", "field.N_voxel_init=4096",
+            "field.N_voxel_final=4096", "field.upsamp_list=[]",
+            "model.arch.max_samples_per_ray=16",
+            "model.arch.recur_samples_per_ray=8",
+            "model.arch.model.brdf_ray_budget=[512,128]",
+            "model.arch.model.max_retrace_rays=[64]",
+            "model.arch.model.diffuse_module.roughness_view_encoder."
+            "_target_=modules.render_modules.PE",
+            "model.arch.model.diffuse_module.roughness_view_encoder."
+            "max_degree=2",
+            "model.arch.bg_module.bg_resolution=32"])
+        aabb = np.array([[-1.5] * 3, [1.5] * 3], np.float32)
+        nmf = build_nmf(jax.random.PRNGKey(0), cfg["model"]["arch"], aabb,
+                        (2.0, 6.0))
+        dm = nmf.model.diffuse_module
+        assert dm.roughness_view_encoder is not None
+        # roughness MLP consumes the extra encoded-view channels
+        assert (dm.roughness_mlp.layers[0]["w"].shape[0]
+                == dm.tint_mlp.layers[0]["w"].shape[0]
+                + dm.roughness_view_encoder.dim() + 3)
+        rays = np.concatenate(
+            [np.zeros((16, 2)), np.full((16, 1), -4.0),
+             np.random.default_rng(0).normal(size=(16, 3))], -1)
+        rays[:, 3:] /= np.linalg.norm(rays[:, 3:], axis=-1, keepdims=True)
+        ims, _ = render(nmf, jnp.asarray(rays, jnp.float32),
+                        jax.random.PRNGKey(2), is_train=True,
+                        bg_col=(1., 1., 1.))
+        assert np.isfinite(np.asarray(ims["rgb_map"])).all()
+
     def test_tv_weight_anneal(self, tmp_path):
         """TV weights decay by lr_decay_target_ratio^(1/iters) per iteration
         (reference train.py:686,694): killing the anneal (ratio=1) must give
