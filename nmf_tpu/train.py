@@ -446,6 +446,13 @@ def reconstruction(cfg, log=print):
                                 n_vis=cfg.get("N_vis", -1), gt_bg=gt_bg,
                                 mesh=mesh)
         log(f"final test: {res}")
+    if cfg.get("render_train", False):
+        # evaluate on the training views (reference train.py:838-858)
+        key, tk = jax.random.split(key)
+        res_tr = eval_lib.evaluate(
+            nmf, train_ds, tk, save_dir=str(logfolder / "imgs_train_all"),
+            n_vis=cfg.get("N_vis", -1), mesh=mesh)
+        log(f"train-split eval: {res_tr}")
     if cfg.get("render_path", False):
         key, pk = jax.random.split(key)
         W, H = test_ds["img_wh"]
@@ -480,6 +487,14 @@ def render_test(cfg, log=print):
                             n_vis=cfg.get("N_vis", -1), mesh=mesh,
                             streaming=bool(cfg.get("stream", False)))
     log(f"render_test: {res}")
+    if cfg.get("render_train", False):
+        train_ds = load_dataset(cfg["dataset"], datadir, split="train")
+        res_tr = eval_lib.evaluate(
+            nmf, train_ds, jax.random.PRNGKey(1),
+            save_dir=str(logfolder / "imgs_train_all"),
+            n_vis=cfg.get("N_vis", -1), mesh=mesh,
+            streaming=bool(cfg.get("stream", False)))
+        log(f"train-split eval: {res_tr}")
     return nmf, res
 
 
