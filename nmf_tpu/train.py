@@ -125,6 +125,10 @@ def reconstruction(cfg, log=print):
     params = cfg["model"]["params"]
     datadir = cfg.get("datadir", "/data")
     expname = f"{cfg['dataset']['scenedir'].split('/')[-1]}_{cfg['expname']}"
+    if cfg.get("add_timestamp"):
+        import datetime
+
+        expname += datetime.datetime.now().strftime("-%Y%m%d-%H%M%S")
     logfolder = Path(cfg.get("basedir", "./log")) / expname
     logfolder.mkdir(parents=True, exist_ok=True)
     config_lib.save_config(cfg, logfolder / "config.yaml")
