@@ -224,7 +224,7 @@ def load_dataset(cfg_dataset, datadir, split="train", n_vis=-1):
         phi = -30.0 if split == "train" else -25.0
         ds = make_sphere_dataset(n_views=n_views, H=size, W=size, seed=seed,
                                  phi_deg=phi)
-    elif name == "synthetic_shiny":
+    elif name in ("synthetic_shiny", "synthetic_cluster"):
         from .synthetic import make_shiny_dataset
 
         n_views = cfg_dataset.get("n_views", 24)
@@ -234,7 +234,8 @@ def load_dataset(cfg_dataset, datadir, split="train", n_vis=-1):
             env_bg=cfg_dataset.get("env_bg", False),
             hemisphere=cfg_dataset.get("hemisphere", False),
             interreflect=cfg_dataset.get("interreflect", True),
-            n_gi_samples=cfg_dataset.get("n_gi_samples", 64))
+            n_gi_samples=cfg_dataset.get("n_gi_samples", 64),
+            scene=name.split("_", 1)[1])
     else:
         raise ValueError(f"unknown dataset {name}")
     if "near_far" in cfg_dataset and cfg_dataset["near_far"]:

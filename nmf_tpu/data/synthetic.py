@@ -87,6 +87,22 @@ _SHINY_SPHERES = [
      np.array([0.95, 0.93, 0.88]), 0.22),  # silver, medium
 ]
 
+# Second protocol scene: a tight cluster around a large near-mirror ball.
+# Mutual solid angles are big, so one-bounce interreflections (which the
+# MC GT term renders and the microfacet model's retrace pass can actually
+# fit) dominate the specular content -- the scene that separates NMF from
+# env-only shading models.
+_CLUSTER_SPHERES = [
+    (np.array([0.0, 0.0, 0.05]), 0.62, np.array([0.04, 0.04, 0.04]),
+     np.array([0.95, 0.93, 0.88]), 0.03),   # big silver mirror
+    (np.array([-0.85, -0.35, -0.35]), 0.35, np.array([0.18, 0.06, 0.02]),
+     np.array([1.0, 0.71, 0.29]), 0.25),    # gold, glossy
+    (np.array([0.75, -0.5, -0.3]), 0.32, np.array([0.1, 0.12, 0.45]),
+     np.array([0.04, 0.04, 0.04]), 0.12),   # blue dielectric, sharp
+    (np.array([0.15, 0.85, -0.4]), 0.3, np.array([0.2, 0.1, 0.05]),
+     np.array([0.95, 0.64, 0.54]), 0.5),    # copper, rough
+]
+
 
 def shiny_env_fn(dirs):
     """Analytic HDR environment (returns linear radiance, (N, 3))."""
@@ -209,11 +225,12 @@ class _ShinyEnv:
         return self._bilinear(self.irr, r, c)
 
 
-def _shiny_first_hit(rays_o, rays_d, exclude=None):
+def _shiny_first_hit(rays_o, rays_d, exclude=None, spheres=None):
+    spheres = _SHINY_SPHERES if spheres is None else spheres
     N = rays_o.shape[0]
     best_t = np.full(N, np.inf)
     idx = np.full(N, -1)
-    for i, (c, rad, *_rest) in enumerate(_SHINY_SPHERES):
+    for i, (c, rad, *_rest) in enumerate(spheres):
         hit, t, _ = _sphere_hit(rays_o, rays_d, c, rad)
         if exclude is not None:
             hit = hit & (exclude != i)
@@ -223,20 +240,21 @@ def _shiny_first_hit(rays_o, rays_d, exclude=None):
     return idx, best_t
 
 
-def _shiny_mats(idx):
+def _shiny_mats(idx, spheres=None):
     """Per-point material arrays for sphere indices idx (N,)."""
-    albedo = np.stack([s[2] for s in _SHINY_SPHERES])[idx]
-    f0 = np.stack([s[3] for s in _SHINY_SPHERES])[idx]
-    rough = np.asarray([s[4] for s in _SHINY_SPHERES])[idx]
+    spheres = _SHINY_SPHERES if spheres is None else spheres
+    albedo = np.stack([s[2] for s in spheres])[idx]
+    f0 = np.stack([s[3] for s in spheres])[idx]
+    rough = np.asarray([s[4] for s in spheres])[idx]
     return albedo, f0, rough
 
 
-def _shiny_direct_shade(idx, n, v, env):
+def _shiny_direct_shade(idx, n, v, env, spheres=None):
     """Direct (environment-only) split-sum shade of sphere surface points:
     Fresnel x roughness-prefiltered env along the mirror direction plus
     (1-F) x albedo x irradiance. idx: (N,) sphere index; v points TOWARD
     the eye. Returns (rgb linear (N,3), F (N,3))."""
-    albedo, f0, rough = _shiny_mats(idx)
+    albedo, f0, rough = _shiny_mats(idx, spheres)
     cos = np.clip((n * v).sum(-1), 0, 1)[:, None]
     F = f0 + (1 - f0) * (1 - cos) ** 5
     refl = -v + 2 * cos * n
@@ -254,7 +272,8 @@ def _frame(z):
     return x, np.cross(z, x)
 
 
-def _interreflection_delta(idx, p, n, v, env, rng, n_spec=64, n_diff=64):
+def _interreflection_delta(idx, p, n, v, env, rng, n_spec=64, n_diff=64,
+                           spheres=None):
     """MC occlusion/interreflection correction to the split-sum shade.
 
     The base GT treats the environment as unoccluded, but a physically
@@ -277,14 +296,15 @@ def _interreflection_delta(idx, p, n, v, env, rng, n_spec=64, n_diff=64):
     one-bounce depth). Below-horizon lobe samples are skipped (a convex
     sphere self-occludes there; the prefiltered base makes the same
     approximation)."""
+    spheres = _SHINY_SPHERES if spheres is None else spheres
     N = p.shape[0]
-    albedo, f0, rough = _shiny_mats(idx)
+    albedo, f0, rough = _shiny_mats(idx, spheres)
     cos = np.clip((n * v).sum(-1), 0, 1)[:, None]
     F = f0 + (1 - f0) * (1 - cos) ** 5
     refl = -v + 2 * cos * n
     m_exp = np.clip(2.0 / (rough ** 2 + 1e-8) - 2.0, 1.0, 1e7)
-    centers = np.stack([s[0] for s in _SHINY_SPHERES])
-    radii = np.asarray([s[1] for s in _SHINY_SPHERES])
+    centers = np.stack([s[0] for s in spheres])
+    radii = np.asarray([s[1] for s in spheres])
 
     def run(axis, n_samp, cosine):
         xs, ys = _frame(axis)
@@ -303,12 +323,14 @@ def _interreflection_delta(idx, p, n, v, env, rng, n_spec=64, n_diff=64):
             w = (xs * (st * np.cos(ph))[:, None]
                  + ys * (st * np.sin(ph))[:, None] + axis * ct[:, None])
             up = (w * n).sum(-1) > 1e-4
-            hi, t = _shiny_first_hit(p + 1e-4 * w, w, exclude=idx)
+            hi, t = _shiny_first_hit(p + 1e-4 * w, w, exclude=idx,
+                                     spheres=spheres)
             hm = up & (hi >= 0)
             if hm.any():
                 q = p[hm] + t[hm][:, None] * w[hm]
                 nq = (q - centers[hi[hm]]) / radii[hi[hm]][:, None]
-                lq, _ = _shiny_direct_shade(hi[hm], nq, -w[hm], env)
+                lq, _ = _shiny_direct_shade(hi[hm], nq, -w[hm], env,
+                                            spheres)
                 acc[hm] += lq - env.radiance(w[hm])
         return acc / (s1 * s2)
 
@@ -318,29 +340,30 @@ def _interreflection_delta(idx, p, n, v, env, rng, n_spec=64, n_diff=64):
 
 
 def render_shiny_scene(rays_o, rays_d, env: "_ShinyEnv", interreflect=False,
-                       rng=None, n_gi_samples=64):
+                       rng=None, n_gi_samples=64, spheres=None):
     """Analytic GT shade. Returns (rgb linear fg, alpha, normals, tints).
     interreflect=True adds the one-bounce neighbor-reflection/occlusion
     correction (see _interreflection_delta)."""
+    spheres = _SHINY_SPHERES if spheres is None else spheres
     N = rays_o.shape[0]
-    idx, t = _shiny_first_hit(rays_o, rays_d)
+    idx, t = _shiny_first_hit(rays_o, rays_d, spheres=spheres)
     hit = idx >= 0
     rgb = env.radiance(rays_d)  # background radiance
     normals = np.zeros((N, 3), np.float32)
     tints = np.zeros((N, 3), np.float32)
     if hit.any():
         p = rays_o[hit] + t[hit][:, None] * rays_d[hit]
-        centers = np.stack([s[0] for s in _SHINY_SPHERES])
-        radii = np.asarray([s[1] for s in _SHINY_SPHERES])
+        centers = np.stack([s[0] for s in spheres])
+        radii = np.asarray([s[1] for s in spheres])
         n = (p - centers[idx[hit]]) / radii[idx[hit]][:, None]
         v = -rays_d[hit]
-        shade, _ = _shiny_direct_shade(idx[hit], n, v, env)
+        shade, _ = _shiny_direct_shade(idx[hit], n, v, env, spheres)
         if interreflect:
             rng = rng or np.random.default_rng(0)
             shade = shade + _interreflection_delta(
                 idx[hit], p, n, v, env, rng,
-                n_spec=n_gi_samples, n_diff=n_gi_samples)
-        _, f0, _ = _shiny_mats(idx[hit])
+                n_spec=n_gi_samples, n_diff=n_gi_samples, spheres=spheres)
+        _, f0, _ = _shiny_mats(idx[hit], spheres)
         rgb[hit] = shade
         normals[hit] = n
         tints[hit] = f0
@@ -357,7 +380,7 @@ def _np_srgb(x):
 def make_shiny_dataset(n_views=24, H=128, W=128, radius=3.2, seed=0,
                        phi_deg=-25.0, split="train", env=None,
                        env_bg=False, hemisphere=False, interreflect=True,
-                       n_gi_samples=64):
+                       n_gi_samples=64, scene="shiny"):
     """Protocol scene (see module header). all_rgbs is RGBA (tonemapped
     foreground + alpha) so training can blend random backgrounds like the
     blender loader; test views sit between train azimuths.
@@ -376,6 +399,8 @@ def make_shiny_dataset(n_views=24, H=128, W=128, radius=3.2, seed=0,
     reference trains on are path traced); costs ~1-2 min host time per
     split at 400px."""
     env = env or _ShinyEnv()
+    spheres = {"shiny": _SHINY_SPHERES,
+               "cluster": _CLUSTER_SPHERES}[scene]
     gi_rng = np.random.default_rng(
         seed + (7 if split == "train" else 117) + 1000)
     focal = 0.5 * W / np.tan(0.5 * np.deg2rad(55.0))
@@ -401,7 +426,7 @@ def make_shiny_dataset(n_views=24, H=128, W=128, radius=3.2, seed=0,
         rays_o, rays_d = get_rays(directions, c2w)
         rgb, alpha, norms, tints = render_shiny_scene(
             rays_o, rays_d, env, interreflect=interreflect, rng=gi_rng,
-            n_gi_samples=n_gi_samples)
+            n_gi_samples=n_gi_samples, spheres=spheres)
         ldr = np.clip(_np_srgb(np.clip(rgb, 0, None)), 0, 1)
         if env_bg:
             rgba = np.concatenate([ldr, np.ones_like(alpha)[:, None]], -1)

@@ -96,6 +96,28 @@ class TestInterreflection:
         finally:
             syn._SHINY_SPHERES = saved
 
+    def test_cluster_scene(self):
+        """The cluster scene composes through the config surface, keeps all
+        four spheres in frame, and its mirror ball sees strong
+        interreflections (the point of the scene)."""
+        from nmf_tpu import config as config_lib
+        from nmf_tpu.data.blender import load_dataset
+        from nmf_tpu.data.synthetic import _CLUSTER_SPHERES
+
+        cfg = config_lib.compose(["dataset=synthetic_cluster",
+                                  "dataset.image_size=48",
+                                  "dataset.n_views=4"])["dataset"]
+        ds = load_dataset(cfg, "/tmp", split="train")
+        alpha = ds["all_rgbs"][:, 3]
+        assert 0.1 < alpha.mean() < 0.8
+        # interreflection correction fires much more than on the shiny scene
+        cfg_off = dict(cfg, interreflect=False)
+        ds_off = load_dataset(cfg_off, "/tmp", split="train")
+        changed = (np.abs(ds["all_rgbs"][:, :3]
+                          - ds_off["all_rgbs"][:, :3]).max(-1) > 0.02)
+        assert changed.mean() > 0.02, changed.mean()
+        assert len(_CLUSTER_SPHERES) == 4
+
     def test_dataset_flag_plumbed(self):
         from nmf_tpu.data.blender import load_dataset
 
