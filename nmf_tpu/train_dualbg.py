@@ -91,7 +91,9 @@ def reconstruction_dual(cfg, log=print):
             nmf = nmf.replace(bg_module=nmf.bg_module.select(di))
         ids = samplers[di].nextids()
         bg_col = trainer.bg_col_for(params.get("bg_col", "white"), rng)
-        weights = make_loss_weights(params, iteration)
+        tv_mult = float(cfg.get("lr_decay_target_ratio", 0.1)) ** (
+            iteration / n_iters)
+        weights = make_loss_weights(params, iteration, tv_mult=tv_mult)
         nmf, opt_state, metrics = step_fn(
             nmf, opt_state, stores[di][0], stores[di][1], None,
             jnp.asarray(ids),
