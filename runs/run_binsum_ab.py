@@ -54,14 +54,24 @@ def run(on, n_iters=30):
     key, sk = jax.random.split(key)
     nmf, opt_state, m = step(nmf, opt_state, rays, rgbs, bg_col, sk, weights)
     losses.append(float(m["loss"]))  # also the compile barrier
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
+    # parity pass: per-iter host fetch captures the trajectory
+    for _ in range(8):
         key, sk = jax.random.split(key)
         nmf, opt_state, m = step(nmf, opt_state, rays, rgbs, bg_col, sk,
                                  weights)
-        losses.append(float(m["loss"]))  # host fetch = reliable barrier
-    dt = (time.perf_counter() - t0) / n_iters
-    return dt, losses
+        losses.append(float(m["loss"]))
+    # timing pass: fetch only at trial end so tunnel RTT doesn't dilute
+    # the kernel delta (bench.py measurement discipline)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            key, sk = jax.random.split(key)
+            nmf, opt_state, m = step(nmf, opt_state, rays, rgbs, bg_col, sk,
+                                     weights)
+        float(m["loss"])
+        best = min(best, (time.perf_counter() - t0) / n_iters)
+    return best, losses
 
 
 if __name__ == "__main__":
