@@ -9,7 +9,7 @@ python train.py model=microfacet_tensorf2 dataset=synthetic_cluster \
   model.params.max_batch_size=4096 \
   field.N_voxel_init=27000000 field.N_voxel_final=27000000 \
   'field.upsamp_list=[]' \
-  save_every=1000 resume=True \
+  save_every=2500 resume=True \
   vis_every=10000 N_vis=2 basedir=runs expname=flagship_cluster400 \
   progress_refresh_rate=512 render_test=True \
   >> /root/repo/runs/flagship_cluster400.log 2>&1
