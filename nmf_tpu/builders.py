@@ -132,6 +132,7 @@ def build_field(key, cfg, aabb, grid_size=None):
             "contract_space", "dbasis", "step_ratio", "density_res_multi",
             "smoothing", "numer_grad", "interp_mode", "lr", "lr_net",
             "num_pretrain", "calibrate", "gather_dtype", "scatter_kernel",
+            "fixed_shape",
         }
         kw2 = {k: v for k, v in kw.items() if k in allowed}
         if "upsamp_list" in kw2:
@@ -340,6 +341,11 @@ def build_nmf(key, arch_cfg: Dict, aabb, near_far, grid_size=None) -> NMF:
     rf = build_field(keys[0], arch_cfg.get("rf", {}), aabb,
                      grid_size=grid_size)
     sampler = build_sampler(arch_cfg.get("sampler", {}), aabb, near_far)
+    if getattr(rf, "fixed_shape", False) \
+            and getattr(sampler, "shrink_iters", ()):
+        raise ValueError(
+            "field.fixed_shape is incompatible with sampler shrink_iters "
+            "(rf.shrink changes the aabb-aligned grid); disable one")
     sampler = sampler.update(rf, init=True)
     model = build_model(keys[1], arch_cfg.get("model", {}), rf.app_dim)
     bg = build_bg(keys[2], arch_cfg.get("bg_module"))

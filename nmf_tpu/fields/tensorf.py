@@ -40,6 +40,31 @@ from ..ops.grid_sample import (
     smoothed_derivative_kernels_2d,
 )
 
+
+def _mask_live_2d(plane, live_hw):
+    """Zero a padded plane beyond the live region (fixed_shape mode).
+
+    Forward no-op while the padding invariant holds (pads are zero), but
+    REQUIRED around convolutions: without it the conv transpose deposits
+    cotangent into pad rows within kernel reach of the live edge, Adam then
+    grows the pads, and the next forward conv reads the garbage back into
+    the live derivative planes."""
+    if live_hw is None:
+        return plane
+    Hl, Wl = live_hw
+    H, W = plane.shape[-2], plane.shape[-1]
+    m = ((jnp.arange(H, dtype=jnp.float32)[:, None] < Hl)
+         & (jnp.arange(W, dtype=jnp.float32)[None, :] < Wl))
+    return plane * m
+
+
+def _mask_live_1d(line, live_l):
+    if live_l is None:
+        return line
+    L = line.shape[-1]
+    return line * (jnp.arange(L, dtype=jnp.float32) < live_l)
+
+
 # plane i holds axes MAT_MODE[i]; line i holds axis VEC_MODE[i]
 MAT_MODE = ((0, 1), (0, 2), (1, 2))
 VEC_MODE = (2, 1, 0)
@@ -62,7 +87,7 @@ class FactorGrid:
         return (len({p.shape for p in self.planes}) == 1
                 and len({l.shape for l in self.lines}) == 1)
 
-    def query(self, coords, dtype=None, binsum=False):
+    def query(self, coords, dtype=None, binsum=False, live=None):
         """coords: (..., 3) normalized in [-1,1] -> list of 3 (..., C).
 
         When all three planes share a shape (cubic grids, the common case)
@@ -72,6 +97,9 @@ class FactorGrid:
         dtype: optional gather dtype (e.g. jnp.bfloat16) -- tables are cast
         before the gather and products accumulate in f32, matching the fused
         compute_all path bit-for-bit so mixed call sites stay consistent.
+
+        live: optional per-world-axis logical resolutions (3 traced f32
+        scalars) for fixed-shape padded grids (TensorVMSplit.fixed_shape).
         """
         cast = (lambda x: x.astype(dtype)) if dtype is not None else (lambda x: x)
         feats = []
@@ -84,15 +112,19 @@ class FactorGrid:
             # gathered row per plane sample, zero gathers for lines) and
             # bit-match the fused compute_all path.
             qg = quad_gather_2d_binsum if binsum else quad_gather_2d
+            lhw = None if live is None else (live[m1], live[m0])
+            ll = None if live is None else live[v]
             pc = qg(
                 cast(self.planes[i]),
                 jnp.stack([coords[..., m0], coords[..., m1]], axis=-1),
+                lhw,
             )
-            lc = line_interp_matmul(cast(self.lines[i]), coords[..., v])
+            lc = line_interp_matmul(cast(self.lines[i]), coords[..., v],
+                                    live_l=ll)
             feats.append(pc * lc)
         return feats
 
-    def query_with_derivs(self, coords, dkernels):
+    def query_with_derivs(self, coords, dkernels, live=None):
         """Returns (feats, dfeats) where dfeats[j] matches the smoothed
         coordinate-derivative semantics of grid_sample_Cinf: derivative of
         each factor product w.r.t. normalized coordinate j, using blurred
@@ -106,13 +138,18 @@ class FactorGrid:
             pcoord = jnp.stack([coords[..., m0], coords[..., m1]], axis=-1)
             plane = self.planes[i]
             line = self.lines[i]
-            pc = grid_sample_2d(plane, pcoord)
-            lc = grid_sample_1d(line, coords[..., v])
+            lhw = None if live is None else (live[m1], live[m0])
+            ll = None if live is None else live[v]
+            pc = grid_sample_2d(plane, pcoord, live_hw=lhw)
+            lc = grid_sample_1d(line, coords[..., v], live_l=ll)
             feats.append(pc * lc)
             # derivative w.r.t. m0 (x of the plane) and m1 (y of the plane)
-            dpx = grid_sample_2d(conv2d_same(plane, kx), pcoord)
-            dpy = grid_sample_2d(conv2d_same(plane, ky), pcoord)
-            dl = grid_sample_1d(conv1d_same(line, k1), coords[..., v])
+            mplane = _mask_live_2d(plane, lhw)
+            mline = _mask_live_1d(line, ll)
+            dpx = grid_sample_2d(conv2d_same(mplane, kx), pcoord, live_hw=lhw)
+            dpy = grid_sample_2d(conv2d_same(mplane, ky), pcoord, live_hw=lhw)
+            dl = grid_sample_1d(conv1d_same(mline, k1), coords[..., v],
+                                live_l=ll)
             dfeats[m0].append(dpx * lc)
             dfeats[m1].append(dpy * lc)
             dfeats[v].append(pc * dl)
@@ -176,6 +213,43 @@ def upsample_factor_grid(fg: FactorGrid, res_target) -> FactorGrid:
     return FactorGrid(planes=tuple(planes), lines=tuple(lines))
 
 
+def upsample_factor_grid_fixed(fg: FactorGrid, old_gs, new_gs) -> FactorGrid:
+    """Fixed-shape upsample: resample the live [0:old] region to [0:new]
+    inside the same padded buffers (host-side, between jit boundaries).
+    The live content is bit-identical to upsample_factor_grid on
+    exact-shape grids of the same resolutions."""
+    planes, lines = [], []
+    for i in range(3):
+        m0, m1 = MAT_MODE[i]
+        v = VEC_MODE[i]
+        p = fg.planes[i]
+        h_o, w_o = int(old_gs[m1]), int(old_gs[m0])
+        h_n, w_n = int(new_gs[m1]), int(new_gs[m0])
+        resized = resize_align_corners_2d(p[:, :h_o, :w_o], (h_n, w_n))
+        planes.append(jnp.zeros_like(p).at[:, :h_n, :w_n].set(resized))
+        ln = fg.lines[i]
+        l_o, l_n = int(old_gs[v]), int(new_gs[v])
+        rline = resize_align_corners_1d(ln[:, :l_o], l_n)
+        lines.append(jnp.zeros_like(ln).at[:, :l_n].set(rline))
+    return FactorGrid(planes=tuple(planes), lines=tuple(lines))
+
+
+def pad_factor_grid(fg: FactorGrid, pad_gs) -> FactorGrid:
+    """Zero-pad an exact-shape FactorGrid into fixed-shape padded buffers."""
+    planes, lines = [], []
+    for i in range(3):
+        m0, m1 = MAT_MODE[i]
+        v = VEC_MODE[i]
+        p = fg.planes[i]
+        buf = jnp.zeros((p.shape[0], int(pad_gs[m1]), int(pad_gs[m0])),
+                        p.dtype)
+        planes.append(buf.at[:, :p.shape[1], :p.shape[2]].set(p))
+        ln = fg.lines[i]
+        lbuf = jnp.zeros((ln.shape[0], int(pad_gs[v])), ln.dtype)
+        lines.append(lbuf.at[:, :ln.shape[1]].set(ln))
+    return FactorGrid(planes=tuple(planes), lines=tuple(lines))
+
+
 def shrink_factor_grid(fg: FactorGrid, t_l, b_r) -> FactorGrid:
     planes, lines = [], []
     for i in range(3):
@@ -216,6 +290,15 @@ class TensorVMSplit:
     interp_mode: str = struct.field(pytree_node=False, default="bilinear")
     grid_size: Tuple[int, int, int] = struct.field(
         pytree_node=False, default=(128, 128, 128))
+    # fixed-shape mode: planes/lines are allocated at the FINAL voxel
+    # schedule resolution and zero-padded; the logical (live) resolution is
+    # the traced leaf ``live_reso`` (f32 (3,)). Upsample events then change
+    # only leaf VALUES -- the jitted train step keeps one signature for the
+    # whole 30k coarse-to-fine schedule instead of recompiling at every
+    # upsamp_list event (reference recompiles are free on CUDA; on XLA each
+    # costs minutes of compile through the remote tunnel).
+    fixed_shape: bool = struct.field(pytree_node=False, default=False)
+    live_reso: Any = None  # f32 (3,) leaf; None unless fixed_shape
     # voxel schedule (static; drives host-side check_schedule)
     n_voxel_list: Tuple[int, ...] = struct.field(pytree_node=False, default=())
     upsamp_list: Tuple[int, ...] = struct.field(pytree_node=False, default=())
@@ -254,6 +337,28 @@ class TensorVMSplit:
     @property
     def n_samples(self) -> int:
         return int(self.aabb_diag / self.stepsize) + 1
+
+    def _live3(self):
+        """None, or the three per-world-axis live resolutions (f32 leaves)."""
+        if not self.fixed_shape or self.live_reso is None:
+            return None
+        return (self.live_reso[0], self.live_reso[1], self.live_reso[2])
+
+    @property
+    def live_grid_size(self) -> Tuple[int, int, int]:
+        """Concrete live resolution (host side)."""
+        if not self.fixed_shape or self.live_reso is None:
+            return tuple(self.grid_size)
+        return tuple(int(v) for v in np.asarray(self.live_reso))
+
+    def live_step_scale(self) -> float:
+        """stepsize(live) / stepsize(static grid_size); 1.0 unless fixed."""
+        if not self.fixed_shape or self.live_reso is None:
+            return 1.0
+        extent = np.asarray(self.aabb[1] - self.aabb[0], np.float64)
+        live = np.asarray(self.live_reso, np.float64)
+        s_live = float((extent / (live - 1)).min() * self.step_ratio)
+        return s_live / self.stepsize
 
     # ---- coordinate handling ----
     def normalize_coord(self, xyz):
@@ -301,7 +406,8 @@ class TensorVMSplit:
         gd = (jnp.bfloat16 if use_gather_dtype and self.gather_dtype == "bf16"
               else None)
         feats = self.density_rf.query(coords, dtype=gd,
-                                      binsum=self.scatter_kernel)
+                                      binsum=self.scatter_kernel,
+                                      live=self._live3())
         sig = self._contract_density(feats)
         return self.feature2density(sig) if activate else sig
 
@@ -329,12 +435,20 @@ class TensorVMSplit:
             parts_p = [dp, a_rf.planes[i]]
             parts_l = [d_rf.lines[i], a_rf.lines[i]]
             if with_normals:
-                parts_p += [conv2d_same(dp, kx), conv2d_same(dp, ky)]
-                parts_l += [conv1d_same(d_rf.lines[i], k1)]
+                live = self._live3()
+                m0, m1 = MAT_MODE[i]
+                lhw = None if live is None else (live[m1], live[m0])
+                ll = None if live is None else live[VEC_MODE[i]]
+                mdp = _mask_live_2d(dp, lhw)
+                parts_p += [conv2d_same(mdp, kx), conv2d_same(mdp, ky)]
+                parts_l += [conv1d_same(
+                    _mask_live_1d(d_rf.lines[i], ll), k1)]
             planes.append(jnp.concatenate(parts_p, axis=0))
             lines.append(jnp.concatenate(parts_l, axis=0))
 
         uniform = False  # per-plane quad gathers avoid (3,...) layout copies
+        if self.fixed_shape:
+            uniform = False  # vmap path has no live-reso plumbing
         # gather in bf16 (halves HBM bytes moved by the gathers; the
         # reference likewise keeps its grids in half precision,
         # tensor_base.py:188). Products/contractions accumulate in f32.
@@ -358,13 +472,16 @@ class TensorVMSplit:
         else:
             qg = quad_gather_2d_binsum if self.scatter_kernel \
                 else quad_gather_2d
+            live = self._live3()
             for i in range(3):
                 m0, m1 = MAT_MODE[i]
                 v = VEC_MODE[i]
+                lhw = None if live is None else (live[m1], live[m0])
+                ll = None if live is None else live[v]
                 pcs.append(qg(planes[i].astype(gd), jnp.stack(
-                    [coords[..., m0], coords[..., m1]], axis=-1)))
+                    [coords[..., m0], coords[..., m1]], axis=-1), lhw))
                 lcs.append(line_interp_matmul(lines[i].astype(gd),
-                                              coords[..., v]))
+                                              coords[..., v], live_l=ll))
 
         d_feats, a_feats = [], []
         dgrads = [[], [], []]
@@ -396,7 +513,8 @@ class TensorVMSplit:
 
     def compute_appfeature(self, xyz):
         coords = self.normalize_coord(xyz)[..., :3]
-        feats = self.app_rf.query(coords, binsum=self.scatter_kernel)
+        feats = self.app_rf.query(coords, binsum=self.scatter_kernel,
+                                  live=self._live3())
         cat = jnp.concatenate(feats, axis=-1)
         return jnp.dot(cat, self.basis_mat, preferred_element_type=jnp.float32)
 
@@ -418,7 +536,8 @@ class TensorVMSplit:
         """
         if self.numer_grad:
             coords = self.normalize_coord(xyz)[..., :3]
-            _, dfeats = self.density_rf.query_with_derivs(coords, self._dkernels())
+            _, dfeats = self.density_rf.query_with_derivs(
+                coords, self._dkernels(), live=self._live3())
             grads = []
             for j in range(3):
                 grads.append(self._contract_density_grad(dfeats[j]))
@@ -427,7 +546,7 @@ class TensorVMSplit:
             def sig_fn(pts3):
                 feats = self.density_rf.query(
                     self.normalize_coord(pts3)[..., :3],
-                    binsum=self.scatter_kernel)
+                    binsum=self.scatter_kernel, live=self._live3())
                 return self._contract_density(feats).sum()
             g = jax.grad(sig_fn)(xyz[..., :3])
         return safemath.normalize(-g)
@@ -447,33 +566,69 @@ class TensorVMSplit:
         )
 
     # ---- regularizers (train.py:669-707 / tensoRF.py:315-360) ----
+    # In fixed_shape mode sums are taken over the live region only and
+    # normalized by live counts, so values match the exact-shape grids
+    # bit-for-bit (the zero padding contributes nothing to sums; only the
+    # mean denominators and the live/pad boundary pairs need masking).
     def density_L1(self):
+        live = self._live3()
         total = 0.0
         for i in range(3):
-            total = total + jnp.abs(self.density_rf.planes[i]).mean() \
-                + jnp.abs(self.density_rf.lines[i]).mean()
+            pl = self.density_rf.planes[i]
+            ln = self.density_rf.lines[i]
+            if live is None:
+                total = total + jnp.abs(pl).mean() + jnp.abs(ln).mean()
+            else:
+                m0, m1 = MAT_MODE[i]
+                v = VEC_MODE[i]
+                np_live = pl.shape[0] * live[m1] * live[m0]
+                nl_live = ln.shape[0] * live[v]
+                total = total + jnp.abs(pl).sum() / np_live \
+                    + jnp.abs(ln).sum() / nl_live
         return total
 
-    def _tv(self, x2d):
+    def _tv(self, x2d, live_hw=None):
         h_tv = x2d[..., 1:, :-1] - x2d[..., :-1, :-1]
         w_tv = x2d[..., :-1, 1:] - x2d[..., :-1, :-1]
-        return jnp.sqrt(w_tv ** 2 + h_tv ** 2 + 1e-5).mean()
+        val = jnp.sqrt(w_tv ** 2 + h_tv ** 2 + 1e-5)
+        if live_hw is None:
+            return val.mean()
+        lh, lw = live_hw
+        C, H1, W1 = val.shape
+        m = ((jnp.arange(H1, dtype=jnp.float32)[:, None] < lh - 1)
+             & (jnp.arange(W1, dtype=jnp.float32)[None, :] < lw - 1))
+        return (val * m).sum() / (C * (lh - 1) * (lw - 1))
 
-    def _tv_line(self, line):
-        return jnp.abs(line[..., 1:] - line[..., :-1]).mean()
+    def _tv_line(self, line, live_l=None):
+        val = jnp.abs(line[..., 1:] - line[..., :-1])
+        if live_l is None:
+            return val.mean()
+        C, L1 = val.shape
+        m = jnp.arange(L1, dtype=jnp.float32) < live_l - 1
+        return (val * m).sum() / (C * (live_l - 1))
+
+    def _tv_lives(self, i):
+        live = self._live3()
+        if live is None:
+            return None, None
+        m0, m1 = MAT_MODE[i]
+        v = VEC_MODE[i]
+        return (live[m1], live[m0]), live[v]
 
     def tv_loss_density(self):
         total = 0.0
         for i in range(3):
-            total = total + self._tv(self.density_rf.planes[i]) * 1e-2 \
-                + self._tv_line(self.density_rf.lines[i]) * 1e-3
+            lhw, ll = self._tv_lives(i)
+            total = total + self._tv(self.density_rf.planes[i], lhw) * 1e-2 \
+                + self._tv_line(self.density_rf.lines[i], ll) * 1e-3
         return total
 
     def tv_loss_app(self):
         total = 0.0
         for i in range(3):
-            total = total + self._tv(self.app_rf.planes[i]) * 1e-2 \
-                + self._tv_line(self.app_rf.lines[i]) * 1e-3
+            lhw, ll = self._tv_lives(i)
+            total = total + self._tv(self.app_rf.planes[i], lhw) * 1e-2 \
+                + self._tv_line(self.app_rf.lines[i], ll) * 1e-3
         return total
 
     def vector_comp_diffs(self):
@@ -502,6 +657,18 @@ class TensorVMSplit:
         return self, False
 
     def upsample(self, res_target):
+        if self.fixed_shape:
+            # host-side in-place resample of the live region; only the
+            # live_reso leaf VALUE changes -> no new jit signature
+            old = self.live_grid_size
+            new = tuple(int(r) for r in res_target)
+            new = tuple(min(n, g) for n, g in zip(new, self.grid_size))
+            return self.replace(
+                density_rf=upsample_factor_grid_fixed(
+                    self.density_rf, old, new),
+                app_rf=upsample_factor_grid_fixed(self.app_rf, old, new),
+                live_reso=jnp.asarray(new, dtype=jnp.float32),
+            )
         return self.replace(
             density_rf=upsample_factor_grid(self.density_rf, res_target),
             app_rf=upsample_factor_grid(self.app_rf, res_target),
@@ -511,6 +678,11 @@ class TensorVMSplit:
     def shrink(self, new_aabb):
         """Crop grids to a new AABB (tensoRF.py:415-445), aligning the aabb
         to the voxel lattice."""
+        if self.fixed_shape:
+            raise NotImplementedError(
+                "field.fixed_shape does not support rf.shrink (occgrid "
+                "shrink_iters); use the default exact-shape mode for "
+                "shrinking configs")
         aabb = np.asarray(self.aabb)
         units = (aabb[1] - aabb[0]) / (np.asarray(self.grid_size) - 1)
         t_l = np.round((np.asarray(new_aabb[0]) - aabb[0]) / units).astype(int)
@@ -560,6 +732,20 @@ def init_tensorvm_split(
     kd, ka, kb, kdb = jax.random.split(key, 4)
     density_rf = init_factor_grid(kd, gsize, density_n_comp, init_mode, d_init_val)
     app_rf = init_factor_grid(ka, gsize, appearance_n_comp, init_mode, app_init_val)
+
+    fixed_shape = bool(kwargs.pop("fixed_shape", False))
+    live_reso = None
+    if fixed_shape:
+        # allocate at the final schedule resolution; the init draws above
+        # are made at the live (initial) resolution so the live region is
+        # bit-identical to an exact-shape init with the same key
+        pad_gs = n_to_reso(N_voxel_final, np.asarray(aabb))
+        pad_gs = tuple(max(int(p), int(g))
+                       for p, g in zip(pad_gs, grid_size))
+        live_reso = jnp.asarray([float(g) for g in grid_size], jnp.float32)
+        density_rf = pad_factor_grid(density_rf, pad_gs)
+        app_rf = pad_factor_grid(app_rf, pad_gs)
+        grid_size = pad_gs
     # torch Linear default init, no bias
     bound_b = 1.0 / math.sqrt(3 * appearance_n_comp)
     basis_mat = jax.random.uniform(
@@ -584,5 +770,7 @@ def init_tensorvm_split(
         grid_size=tuple(int(g) for g in grid_size),
         n_voxel_list=n_voxel_list,
         upsamp_list=tuple(upsamp_list),
+        fixed_shape=fixed_shape,
+        live_reso=live_reso,
         **kwargs,
     )

@@ -26,27 +26,38 @@ def _unnormalize(coord, size):
     return (coord + 1.0) * 0.5 * (size - 1)
 
 
-def grid_sample_1d(line, coords):
-    """line: (C, L); coords: (..., ) in [-1,1] -> (..., C)."""
+def grid_sample_1d(line, coords, live_l=None):
+    """line: (C, L); coords: (..., ) in [-1,1] -> (..., C).
+
+    live_l: optional (traced) logical length for fixed-shape padded lines
+    (fields/tensorf.py fixed_shape mode): coordinates map onto the first
+    ``live_l`` entries; the padded tail never receives nonzero weight.
+    """
     C, L = line.shape
-    x = _unnormalize(coords, L)
+    Ll = L if live_l is None else live_l
+    x = _unnormalize(coords, Ll)
     x0 = jnp.floor(x)
     w1 = x - x0
     i0 = x0.astype(jnp.int32)
     i1 = i0 + 1
-    v0 = jnp.where((i0 >= 0) & (i0 <= L - 1), 1.0, 0.0)
-    v1 = jnp.where((i1 >= 0) & (i1 <= L - 1), 1.0, 0.0)
+    v0 = jnp.where((i0 >= 0) & (i0 <= Ll - 1), 1.0, 0.0)
+    v1 = jnp.where((i1 >= 0) & (i1 <= Ll - 1), 1.0, 0.0)
     g0 = jnp.take(line, jnp.clip(i0, 0, L - 1), axis=1)  # (C, ...)
     g1 = jnp.take(line, jnp.clip(i1, 0, L - 1), axis=1)
     out = g0 * (v0 * (1 - w1)) + g1 * (v1 * w1)
     return jnp.moveaxis(out, 0, -1)
 
 
-def grid_sample_2d(plane, coords):
-    """plane: (C, H, W); coords: (..., 2) as (x, y) in [-1,1] -> (..., C)."""
+def grid_sample_2d(plane, coords, live_hw=None):
+    """plane: (C, H, W); coords: (..., 2) as (x, y) in [-1,1] -> (..., C).
+
+    live_hw: optional (traced) logical (H, W) for fixed-shape padded planes;
+    index math uses the live extents, strides stay the padded statics.
+    """
     C, H, W = plane.shape
-    x = _unnormalize(coords[..., 0], W)
-    y = _unnormalize(coords[..., 1], H)
+    Hl, Wl = (H, W) if live_hw is None else live_hw
+    x = _unnormalize(coords[..., 0], Wl)
+    y = _unnormalize(coords[..., 1], Hl)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     wx = x - x0
@@ -60,7 +71,7 @@ def grid_sample_2d(plane, coords):
         ix = ix0 + dx
         iy = iy0 + dy
         w = (wx if dx else (1 - wx)) * (wy if dy else (1 - wy))
-        valid = (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
+        valid = (ix >= 0) & (ix <= Wl - 1) & (iy >= 0) & (iy <= Hl - 1)
         idx = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
         g = jnp.take(flat, idx, axis=1)  # (C, ...)
         out = out + g * jnp.where(valid, w, 0.0)
@@ -103,7 +114,7 @@ def grid_sample_3d(vol, coords):
     return jnp.moveaxis(out, 0, -1)
 
 
-def quad_gather_2d(plane, coords):
+def quad_gather_2d(plane, coords, live_hw=None):
     """Bilinear 2D sample with ONE row-gather per sample.
 
     TPU gathers are latency-bound per *row*, independent of row width
@@ -115,16 +126,10 @@ def quad_gather_2d(plane, coords):
     [-1, 1]; the rolled wrap rows only ever appear with weight exactly 0.
 
     plane: (C, H, W); coords: (..., 2) as (x, y) -> (..., C) float32.
+    live_hw: optional (traced) logical (H, W) for fixed-shape padded planes.
     """
     C, H, W = plane.shape
-    x = _unnormalize(jnp.clip(coords[..., 0], -1, 1), W)
-    y = _unnormalize(jnp.clip(coords[..., 1], -1, 1), H)
-    x0f = jnp.floor(x)
-    y0f = jnp.floor(y)
-    wx = x - x0f
-    wy = y - y0f
-    ix0 = jnp.clip(x0f.astype(jnp.int32), 0, W - 1)
-    iy0 = jnp.clip(y0f.astype(jnp.int32), 0, H - 1)
+    ix0, iy0, wx, wy = _quad_prep(plane.shape, coords, live_hw)
     quad = jnp.concatenate([
         plane,
         jnp.roll(plane, -1, axis=2),
@@ -143,20 +148,28 @@ def quad_gather_2d(plane, coords):
             + r[..., 3 * C:4 * C] * w11[..., None])
 
 
-def _quad_prep(plane_shape, coords):
+def _quad_prep(plane_shape, coords, live_hw=None):
     """Shared coordinate math of quad_gather_2d: flat corner index and
-    bilinear weights (+ the unnormalize scale for coordinate grads)."""
+    bilinear weights (+ the unnormalize scale for coordinate grads).
+
+    live_hw: optional (traced) logical (H, W) of a fixed-shape padded plane.
+    The gather stride stays the padded static W; coordinates unnormalize and
+    clip against the live extents, so the padded tail only ever appears as
+    the zero-weight far corner of the last live texel."""
     C, H, W = plane_shape
+    Hl, Wl = (H, W) if live_hw is None else live_hw
     cx = jnp.clip(coords[..., 0], -1, 1)
     cy = jnp.clip(coords[..., 1], -1, 1)
-    x = _unnormalize(cx, W)
-    y = _unnormalize(cy, H)
+    x = _unnormalize(cx, Wl)
+    y = _unnormalize(cy, Hl)
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
     wx = x - x0f
     wy = y - y0f
-    ix0 = jnp.clip(x0f.astype(jnp.int32), 0, W - 1)
-    iy0 = jnp.clip(y0f.astype(jnp.int32), 0, H - 1)
+    # clip in f32 against the (possibly traced) live bound, then once more
+    # against the static bound for index safety
+    ix0 = jnp.clip(jnp.clip(x0f, 0, Wl - 1).astype(jnp.int32), 0, W - 1)
+    iy0 = jnp.clip(jnp.clip(y0f, 0, Hl - 1).astype(jnp.int32), 0, H - 1)
     return ix0, iy0, wx, wy
 
 
@@ -185,7 +198,7 @@ def _quad_combine(rows, wx, wy, C):
 
 
 @jax.custom_vjp
-def quad_gather_2d_binsum(plane, coords):
+def quad_gather_2d_binsum(plane, coords, live_hw=None):
     """quad_gather_2d with a hand-written backward that routes the plane
     scatter-add through the Pallas bin-sum kernel (ops/pallas/binsum.py).
 
@@ -194,23 +207,28 @@ def quad_gather_2d_binsum(plane, coords):
     sort + segment-tiled one-hot-matmul accumulation, and computes the
     coordinate cotangent analytically (re-gathering the corner rows; XLA
     DCEs that gather whenever coords are stop_gradient, so the common
-    fine-pass case pays nothing for it)."""
+    fine-pass case pays nothing for it).
+
+    live_hw: optional (traced) logical (H, W) for fixed-shape padded planes
+    (zero cotangent is returned for it; index math only)."""
     C, H, W = plane.shape
-    ix0, iy0, wx, wy = _quad_prep(plane.shape, coords)
+    ix0, iy0, wx, wy = _quad_prep(plane.shape, coords, live_hw)
     rows = jnp.take(_quad_table(plane), iy0 * W + ix0, axis=0)
     return _quad_combine(rows, wx, wy, C)
 
 
-def _qg_fwd(plane, coords):
-    return quad_gather_2d_binsum(plane, coords), (plane, coords)
+def _qg_fwd(plane, coords, live_hw=None):
+    return quad_gather_2d_binsum(plane, coords, live_hw), (
+        plane, coords, live_hw)
 
 
 def _qg_bwd(res, g):
     from .pallas.binsum import binsum_rows
 
-    plane, coords = res
+    plane, coords, live_hw = res
     C, H, W = plane.shape
-    ix0, iy0, wx, wy = _quad_prep(plane.shape, coords)
+    Hl, Wl = (H, W) if live_hw is None else live_hw
+    ix0, iy0, wx, wy = _quad_prep(plane.shape, coords, live_hw)
     flat = (iy0 * W + ix0).reshape(-1)
     gN = g.reshape(-1, C).astype(jnp.float32)
     wxf = wx.reshape(-1)[:, None]
@@ -237,21 +255,26 @@ def _qg_bwd(res, g):
     r11 = rows[:, 3 * C:4 * C]
     dwx = ((r10 - r00) * (1 - wyf) + (r11 - r01) * wyf)
     dwy = ((r01 - r00) * (1 - wxf) + (r11 - r10) * wxf)
-    gx = (gN * dwx).sum(-1) * (0.5 * (W - 1))
-    gy = (gN * dwy).sum(-1) * (0.5 * (H - 1))
+    gx = (gN * dwx).sum(-1) * (0.5 * (Wl - 1))
+    gy = (gN * dwy).sum(-1) * (0.5 * (Hl - 1))
     cx = coords[..., 0].reshape(-1)
     cy = coords[..., 1].reshape(-1)
     gx = jnp.where((cx >= -1) & (cx <= 1), gx, 0.0)
     gy = jnp.where((cy >= -1) & (cy <= 1), gy, 0.0)
     dcoords = jnp.stack([gx, gy], axis=-1).reshape(coords.shape) \
         .astype(coords.dtype)
-    return dplane, dcoords
+    if live_hw is None:
+        dlive = None
+    else:
+        dlive = tuple(jnp.zeros_like(jnp.asarray(b, jnp.float32))
+                      for b in live_hw)
+    return dplane, dcoords, dlive
 
 
 quad_gather_2d_binsum.defvjp(_qg_fwd, _qg_bwd)
 
 
-def line_interp_matmul(line, coords):
+def line_interp_matmul(line, coords, live_l=None):
     """Linear 1D sample as a 2-hot MXU matmul (zero gathers).
 
     A row-gather costs ~8 ns/row on TPU regardless of width; for the short
@@ -259,12 +282,15 @@ def line_interp_matmul(line, coords):
     A (N, L) and hitting the MXU is far cheaper than two gathers per sample.
 
     line: (C, L); coords: (...,) in [-1, 1] -> (..., C) float32.
+    live_l: optional (traced) logical length for fixed-shape padded lines
+    (padded entries are zero AND only ever hit with weight 0).
     """
     C, L = line.shape
-    x = _unnormalize(jnp.clip(coords, -1, 1), L)
+    Ll = L if live_l is None else live_l
+    x = _unnormalize(jnp.clip(coords, -1, 1), Ll)
     x0f = jnp.floor(x)
     w1 = x - x0f
-    i0 = jnp.clip(x0f.astype(jnp.int32), 0, L - 1)
+    i0 = jnp.clip(jnp.clip(x0f, 0, Ll - 1).astype(jnp.int32), 0, L - 1)
     iota = jnp.arange(L, dtype=jnp.int32)
     A = (jnp.where(iota == i0[..., None], (1 - w1)[..., None], 0.0)
          + jnp.where(iota == i0[..., None] + 1, w1[..., None], 0.0))

@@ -268,7 +268,7 @@ def render(nmf: NMF, rays, key, focal=1.0, is_train=False, bg_col=(1.0, 1.0, 1.0
             inc_ims, inc_stats = render(
                 nmf, bounce_rays, rkey, focal=focal, is_train=is_train,
                 bg_col=None, recur=recur + 1,
-                override_near=3 * nmf.sampler.stepsize,
+                override_near=3 * nmf.sampler.live_stepsize,
                 stepmul=nmf.recur_stepmul, tonemap=False,
                 start_mipval=mipval, bg_cache=bg_cache)
             return inc_ims["rgb_map"], 1 - inc_ims["acc_map"]

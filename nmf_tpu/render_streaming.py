@@ -49,7 +49,7 @@ def render_streaming(nmf, rays, key=None, focal: float = 1.0,
             "transmittance field to budget bounce rays")
     rf, sampler = nmf.rf, nmf.sampler
     near, far = sampler.near_far
-    stepsize = float(sampler.stepsize)
+    stepsize = float(sampler.live_stepsize)
     n_blocks = max(-(-int(math.ceil((far - near) / stepsize)) // block), 1)
 
     B = rays.shape[0]

@@ -99,17 +99,32 @@ class AlphaGridSampler:
     # reference culling parity); off leaves validity to the coarse test and
     # saves one (B*K)-row gather
     fine_alpha_test: bool = struct.field(pytree_node=False, default=True)
+    # fixed-shape fields (rf.fixed_shape): ``stepsize``/``n_samples`` are
+    # pinned to the FINAL schedule resolution and this traced leaf scales
+    # the march step to the field's live resolution, so upsample events
+    # never change the jitted step signature. None = 1.0 (exact-shape rf).
+    step_scale: Any = None
+
+    @property
+    def live_stepsize(self):
+        """stepsize at the field's live resolution (traced when fixed)."""
+        if self.step_scale is None:
+            return self.stepsize
+        return self.stepsize * self.step_scale
 
     # ------------------------------------------------------------------
     def update(self, rf, init: bool = False):
         """Adopt field geometry; on non-init also rebuild the alpha mask
         (reference AlphaGridSampler.update, alphagrid.py:96-111)."""
+        fixed = bool(getattr(rf, "fixed_shape", False))
         new = self.replace(
             # copy so the sampler never aliases the field's buffer (jit
             # donation requires distinct buffers per pytree leaf)
             aabb=jnp.array(rf.aabb),
             n_samples=rf.n_samples * self.multiplier,
             stepsize=rf.stepsize / self.multiplier,
+            step_scale=(jnp.asarray(rf.live_step_scale(), jnp.float32)
+                        if fixed else None),
         )
         if not init:
             new, _ = new.update_alpha_mask(rf)
@@ -118,10 +133,13 @@ class AlphaGridSampler:
             # label tree is built once over the model): start with an
             # everything-occupied mask instead of None
             # distinct buffers per leaf (jit donation forbids aliasing)
+            # fixed-shape fields pin the mask to the final grid resolution
+            # so rebuild events never change leaf shapes
+            init_gs = tuple(rf.grid_size) if fixed else (32, 32, 32)
             new = new.replace(alpha_mask=AlphaGridMask(
                 aabb=jnp.array(rf.aabb),
-                alpha_volume=jnp.ones((32, 32, 32), jnp.float32),
-                coarse_volume=(jnp.ones((32, 32, 32), jnp.float32)
+                alpha_volume=jnp.ones(init_gs[::-1], jnp.float32),
+                coarse_volume=(jnp.ones(init_gs[::-1], jnp.float32)
                                if new.superstep > 1 else None)))
         return new
 
@@ -132,8 +150,9 @@ class AlphaGridSampler:
         1.5 * stepsize), plus half a cell of nearest-rounding error."""
         extent = np.asarray(self.aabb[1] - self.aabb[0], np.float64)
         unit_min = float((extent / (np.asarray(gs, np.float64) - 1)).min())
-        return int(np.ceil(0.75 * self.superstep * self.stepsize / unit_min
-                           + 0.5))
+        scale = 1.0 if self.step_scale is None else float(self.step_scale)
+        return int(np.ceil(0.75 * self.superstep * self.stepsize * scale
+                           / unit_min + 0.5))
 
     def check_schedule(self, iteration: int, batch_mul: int, rf):
         if iteration in [i * batch_mul for i in self.update_list]:
@@ -162,7 +181,8 @@ class AlphaGridSampler:
             return rf.compute_densityfeature(pts.reshape(-1, 3))
 
         sigma = jax.lax.map(slab, xyz).reshape(gs)
-        alpha = 1 - jnp.exp(-sigma * self.stepsize)
+        scale = 1.0 if self.step_scale is None else float(self.step_scale)
+        alpha = 1 - jnp.exp(-sigma * self.stepsize * scale)
         return alpha, xyz
 
     def update_alpha_mask(self, rf, grid_size=None):
@@ -173,7 +193,12 @@ class AlphaGridSampler:
         # reference stores volume transposed so grid_sample's (x,y,z) indexing
         # hits [z_axis=dim0]; replicate by transposing world-x to the last axis
         alpha_t = jnp.clip(alpha, 0, 1).transpose(2, 1, 0)  # (Z, Y, X)
-        alpha_t = max_pool_3d(alpha_t, 3)
+        # reference dilation is 1 cell at the CURRENT field resolution
+        # (alphagrid.py:256); with a fixed-shape field the mask lives at the
+        # pinned final resolution, so scale the radius to the live-cell
+        # world extent (step_scale == reso ratio for cubic grids)
+        scale = 1.0 if self.step_scale is None else float(self.step_scale)
+        alpha_t = max_pool_3d(alpha_t, 2 * int(np.ceil(scale)) + 1)
         alpha_bin = (alpha_t >= self.alpha_mask_thres).astype(jnp.float32)
         coarse = None
         if self.superstep > 1:
@@ -259,7 +284,7 @@ class AlphaGridSampler:
 
         # stepmul < 1 (recursive bounce pass) trades step count for step size
         # so ray coverage stays constant at lower cost
-        stepsize = self.stepsize / stepmul
+        stepsize = self.live_stepsize / stepmul
         if is_train and key is not None:
             if self.cumrand:
                 steps = jax.random.uniform(key, (B, N)) * stepsize + stepsize / 2

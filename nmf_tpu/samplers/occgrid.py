@@ -51,6 +51,12 @@ class OccGridSampler:
     max_samples: int = struct.field(pytree_node=False, default=200000)
     multiplier: int = struct.field(pytree_node=False, default=1)
     stepsize: float = struct.field(pytree_node=False, default=0.01)
+
+    @property
+    def live_stepsize(self):
+        """Uniform samplers have no fixed-shape mode; alias for the
+        render-layer interface shared with AlphaGridSampler."""
+        return self.stepsize
     n_samples: int = struct.field(pytree_node=False, default=440)
     shrink_iters: Tuple[int, ...] = struct.field(pytree_node=False,
                                                  default=())

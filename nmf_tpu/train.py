@@ -49,7 +49,7 @@ def pretrain_density(nmf: NMF, key, start_density: float, log=print):
     the density factors only (density_rf + dbasis_mat); the reference
     optimizes all parameters but only the density path touches this loss."""
     rf = nmf.rf
-    stepsize = nmf.sampler.stepsize
+    stepsize = float(nmf.sampler.live_stepsize)
     n = int(getattr(rf, "num_pretrain", 0) or 0)
     if n <= 0 or not hasattr(rf, "density_rf"):
         if getattr(rf, "calibrate", False):
@@ -401,12 +401,20 @@ def reconstruction(cfg, log=print):
             nmf, ch = nmf.check_schedule(j + 1, 1)
             changed = changed or ch
         if changed:
-            tx, opt_state, step_fn = init_optimizer(nmf)
-            chain_fn = None  # shapes may have changed
+            if getattr(nmf.rf, "fixed_shape", False):
+                # fixed-shape events change leaf VALUES only: reset the
+                # optimizer state (fresh moments + lr-schedule restart,
+                # matching the reference reinit) but KEEP the compiled
+                # step/chain functions -- zero recompiles across the
+                # whole upsample schedule
+                opt_state = tx.init(nmf)
+            else:
+                tx, opt_state, step_fn = init_optimizer(nmf)
+                chain_fn = None  # shapes may have changed
             l1_rest_at = last_it + 1
             cur_bs = fit_bs(start_bs)  # reset ray counters (train.py:807-813)
             log(f"iter {last_it}: schedule event -> optimizer reinit; "
-                f"grid={nmf.rf.grid_size}")
+                f"grid={getattr(nmf.rf, 'live_grid_size', nmf.rf.grid_size)}")
 
         if (vis_every > 0 and cfg.get("N_vis", 0) != 0
                 and (last_it + 1) % vis_every == 0):
