@@ -106,7 +106,12 @@ def reconstruction_dual(cfg, log=print):
         new_nmf, changed = nmf.check_schedule(iteration + 1, 1)
         nmf = new_nmf
         if changed:
-            tx, opt_state, step_fn = init_opt(nmf)
+            if getattr(nmf.rf, "fixed_shape", False):
+                # fixed-shape events change leaf values only: fresh
+                # moments, same compiled step (see train.py)
+                opt_state = tx.init(nmf)
+            else:
+                tx, opt_state, step_fn = init_opt(nmf)
 
     ckpt_lib.save(logfolder / f"{expname}.th", nmf, cfg)
     results = []
