@@ -9,6 +9,11 @@ notebook as a dependency-free CLI.
 Usage:
     python -m nmf_tpu.scripts.tabularize LOGDIR [--keys psnr,ssim,...]
                                                   [--csv out.csv]
+                                                  [--time-to-db 30]
+
+--time-to-db N additionally reports, per run, the first wall-clock second
+and iteration at which the train PSNR telemetry (metrics.jsonl) reached
+N dB -- the "time-to-30dB" protocol line from BASELINE.md.
 """
 import argparse
 import json
@@ -70,6 +75,25 @@ def collect(logdir: Path):
     return rows
 
 
+def time_to_db(logdir: Path, threshold: float):
+    """{run: {t_s, step}} for the first metrics.jsonl record with train
+    psnr >= threshold (records carry `t` = seconds since run start)."""
+    out = {}
+    for mfile in sorted(logdir.rglob("metrics.jsonl")):
+        run = str(mfile.parent.relative_to(logdir))
+        for line in mfile.read_text().splitlines():
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if rec.get("psnr", -1e9) >= threshold:
+                out[run] = {"t_s": rec.get("t"), "step": rec.get("step")}
+                break
+        else:
+            out.setdefault(run, None)
+    return out
+
+
 def render_table(rows, keys):
     headers = ["run"] + keys
     lines = [" | ".join(headers), " | ".join("---" for _ in headers)]
@@ -97,7 +121,25 @@ def main(argv=None):
     ap.add_argument("--keys", default=",".join(DEFAULT_KEYS))
     ap.add_argument("--csv", type=Path, default=None)
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--time-to-db", type=float, default=None,
+                    help="report first wall-second/iter reaching this "
+                         "train PSNR per run (metrics.jsonl)")
     args = ap.parse_args(argv)
+
+    if args.time_to_db is not None:
+        ttd = time_to_db(args.logdir, args.time_to_db)
+        for run in sorted(ttd):
+            hit = ttd[run]
+            if hit is None:
+                print(f"{run}: never reached {args.time_to_db:g} dB")
+            else:
+                print(f"{run}: {args.time_to_db:g} dB at "
+                      f"t={hit['t_s']:.1f}s step={hit['step']}")
+        if not ttd:
+            print(f"no metrics.jsonl found under {args.logdir}",
+                  file=sys.stderr)
+            return 1
+        return 0
 
     keys = [k for k in args.keys.split(",") if k]
     rows = collect(args.logdir)

@@ -750,6 +750,23 @@ class TestTabularize:
         table = render_table(rows, ["psnr", "ssim"])
         assert "lego" in table and "mean" in table
 
+    def test_time_to_db(self, tmp_path):
+        import json
+
+        from nmf_tpu.scripts.tabularize import time_to_db
+
+        run = tmp_path / "lego"
+        run.mkdir()
+        recs = [{"step": 10, "t": 5.0, "psnr": 21.0},
+                {"log": "not a scalar record", "t": 5.1},
+                {"step": 50, "t": 25.0, "psnr": 30.2},
+                {"step": 90, "t": 45.0, "psnr": 31.0}]
+        (run / "metrics.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in recs))
+        hit = time_to_db(tmp_path, 30.0)
+        assert hit["lego"] == {"t_s": 25.0, "step": 50}
+        assert time_to_db(tmp_path, 99.0)["lego"] is None
+
 
 class TestNewEncodersAndHeads:
     def _dirs(self, n=12, seed=0):
