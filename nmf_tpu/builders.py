@@ -334,6 +334,35 @@ def build_sampler(cfg, aabb, near_far):
                             near_far=tuple(near_far), **kw2)
 
 
+
+def set_mlp_dtype(obj, dtype: str):
+    """Recursively set MLP.compute_dtype on every MLP inside a module tree
+    (model.arch.mlp_dtype knob). Walks flax struct dataclasses and standard
+    containers; leaves arrays untouched."""
+    import dataclasses
+
+    from .modules.mlp import MLP
+
+    if isinstance(obj, MLP):
+        return obj.replace(compute_dtype=dtype)
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        changes = {}
+        for f in dataclasses.fields(obj):
+            v = getattr(obj, f.name)
+            nv = set_mlp_dtype(v, dtype)
+            if nv is not v:
+                changes[f.name] = nv
+        return obj.replace(**changes) if changes else obj
+    if isinstance(obj, tuple):
+        out = tuple(set_mlp_dtype(v, dtype) for v in obj)
+        return out if any(a is not b for a, b in zip(out, obj)) else obj
+    if isinstance(obj, list):
+        return [set_mlp_dtype(v, dtype) for v in obj]
+    if isinstance(obj, dict):
+        return {k: set_mlp_dtype(v, dtype) for k, v in obj.items()}
+    return obj
+
+
 def build_nmf(key, arch_cfg: Dict, aabb, near_far, grid_size=None) -> NMF:
     """Build the full composed model from cfg.model.arch (the analogue of
     hydra instantiate(args.model.arch)(aabb=..., near_far=...))."""
@@ -372,6 +401,13 @@ def build_nmf(key, arch_cfg: Dict, aabb, near_far, grid_size=None) -> NMF:
     # transmittance fwd+bwd) but currently LOSES inside the full train graph
     # (it blocks XLA fusion around the kernel boundary) -> opt-in only.
     top.setdefault("use_pallas", False)
+
+    # mlp_dtype=bf16: run every shading MLP's matmuls with bf16 operands
+    # (f32 accumulation + params; see modules/mlp.py). Opt-in perf knob.
+    mlp_dtype = arch_cfg.get("mlp_dtype")
+    if mlp_dtype and mlp_dtype != "f32":
+        model = set_mlp_dtype(model, mlp_dtype)
+        normal_module = set_mlp_dtype(normal_module, mlp_dtype)
 
     use_pred = top.pop("use_predicted_normals", False) and normal_module is not None
     nmf = NMF(rf=rf, sampler=sampler, model=model, bg_module=bg,

@@ -15,27 +15,41 @@ from flax import struct
 
 @struct.dataclass
 class MLP:
-    """A plain relu MLP. ``layers`` is a tuple of {'w','b'} dicts."""
+    """A plain relu MLP. ``layers`` is a tuple of {'w','b'} dicts.
+
+    compute_dtype="bf16" casts matmul OPERANDS to bfloat16 (the MXU's
+    native input width -- halves the weight/activation bytes each layer
+    moves) while products still accumulate in f32 via
+    preferred_element_type and bias-add/relu stay f32. Parameters remain
+    f32 (Adam precision unaffected). Opt-in via model.arch.mlp_dtype.
+    """
     layers: Any
     skip_layers: Any = None  # second half for SkipConnection
     skip_in_w: int = struct.field(pytree_node=False, default=0)
+    compute_dtype: str = struct.field(pytree_node=False, default="f32")
 
     def __call__(self, x):
+        cd = jnp.bfloat16 if self.compute_dtype == "bf16" else None
         h = x
         if self.skip_layers is not None:
-            h = _apply_layers(self.layers, h)
+            h = _apply_layers(self.layers, h, cd)
             h = jax.nn.relu(h)
             h = jnp.concatenate([x, h], axis=-1)
-            return _apply_layers(self.skip_layers, h)
-        return _apply_layers(self.layers, h)
+            return _apply_layers(self.skip_layers, h, cd)
+        return _apply_layers(self.layers, h, cd)
 
 
-def _apply_layers(layers, x):
+def _apply_layers(layers, x, compute_dtype=None):
     n = len(layers)
     for i, layer in enumerate(layers):
         if layer["w"] is None:  # identity
             continue
-        x = jnp.dot(x, layer["w"], preferred_element_type=jnp.float32)
+        if compute_dtype is not None:
+            x = jnp.dot(x.astype(compute_dtype),
+                        layer["w"].astype(compute_dtype),
+                        preferred_element_type=jnp.float32)
+        else:
+            x = jnp.dot(x, layer["w"], preferred_element_type=jnp.float32)
         if layer["b"] is not None:
             x = x + layer["b"]
         if i < n - 1:

@@ -1076,3 +1076,49 @@ class TestOfflineToolCLIs:
         collect_main()
         out = capsys.readouterr().out
         assert "jax" in out.lower()
+
+
+class TestMlpDtype:
+    def test_mlp_bf16_close_to_f32(self):
+        from nmf_tpu.modules.mlp import create_mlp
+
+        mlp = create_mlp(jax.random.PRNGKey(0), 16, 8, 3, hidden_w=64)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(128, 16)),
+                        jnp.float32)
+        y32 = mlp(x)
+        y16 = mlp.replace(compute_dtype="bf16")(x)
+        assert y16.dtype == jnp.float32  # f32 accumulation preserved
+        err = float(jnp.abs(y16 - y32).max())
+        scale = float(jnp.abs(y32).max())
+        assert err < 0.02 * max(scale, 1.0), (err, scale)
+
+    def test_knob_through_config_surface(self):
+        from nmf_tpu import config as config_lib
+        from nmf_tpu.builders import build_nmf
+        from nmf_tpu.render import render
+
+        cfg = config_lib.compose([
+            "model=microfacet_tensorf2", "dataset=synthetic_sphere",
+            "model.arch.mlp_dtype=bf16",
+            "field.N_voxel_init=4096", "field.N_voxel_final=4096",
+            "field.upsamp_list=[]",
+            "model.arch.max_samples_per_ray=16",
+            "model.arch.recur_samples_per_ray=8",
+            "model.arch.proposal_samples_per_ray=8",
+            "model.arch.model.brdf_ray_budget=[512,128]",
+            "model.arch.model.max_retrace_rays=[32]",
+            "model.arch.bg_module.bg_resolution=32",
+        ])
+        aabb = np.array([[-1.5] * 3, [1.5] * 3], np.float32)
+        nmf = build_nmf(jax.random.PRNGKey(0), cfg["model"]["arch"], aabb,
+                        (2.0, 6.0))
+        assert nmf.model.diffuse_module.diffuse_mlp.compute_dtype == "bf16"
+        assert nmf.model.brdf.mlp.compute_dtype == "bf16"
+        rng = np.random.default_rng(0)
+        o = np.tile([[0.0, 0.0, -4.0]], (64, 1)).astype(np.float32)
+        d = rng.normal(size=(64, 3)).astype(np.float32)
+        d[:, 2] = np.abs(d[:, 2]) + 1.0
+        d /= np.linalg.norm(d, -1, keepdims=True)
+        rays = jnp.asarray(np.concatenate([o, d], -1))
+        ims, _ = render(nmf, rays, jax.random.PRNGKey(1), is_train=False)
+        assert np.all(np.isfinite(np.asarray(ims["rgb_map"])))
