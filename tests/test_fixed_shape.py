@@ -330,3 +330,54 @@ class TestFixedShapeSharded:
                        replicate(mesh, bg), sk, weights)
         np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
                                    rtol=1e-4)
+
+
+class TestFixedShapeMicrofacet:
+    def test_flagship_step_across_event(self):
+        """The full microfacet pipeline (GGX + BRDF + retrace + envmap)
+        trains through a fixed-shape upsample event with the SAME compiled
+        step (the path runs/run_flagship_fixed400.sh uses)."""
+        from nmf_tpu import config as config_lib
+        from nmf_tpu import trainer
+        from nmf_tpu.builders import build_nmf
+
+        cfg = config_lib.compose([
+            "model=microfacet_tensorf2", "dataset=synthetic_sphere",
+            "field.N_voxel_init=4096", "field.N_voxel_final=8000",
+            "field.upsamp_list=[2]", "field.fixed_shape=True",
+            "model.arch.sampler.update_list=[3]",
+            "model.arch.max_samples_per_ray=16",
+            "model.arch.recur_samples_per_ray=8",
+            "model.arch.proposal_samples_per_ray=8",
+            "model.arch.model.brdf_ray_budget=[512,128]",
+            "model.arch.model.max_retrace_rays=[32]",
+            "model.arch.bg_module.bg_resolution=32",
+        ])
+        aabb = np.array([[-1.5] * 3, [1.5] * 3], np.float32)
+        nmf = build_nmf(jax.random.PRNGKey(0), cfg["model"]["arch"], aabb,
+                        (2.0, 6.0))
+        tx = trainer.make_optimizer(nmf, trainer.OptimConfig(n_iters=8))
+        opt_state = tx.init(nmf)
+        step = trainer.make_train_step(tx, donate=False)
+        weights = trainer.LossWeights()
+
+        rng = np.random.default_rng(0)
+        o = np.tile([[0.0, 0.0, -4.0]], (64, 1)).astype(np.float32)
+        d = rng.normal(size=(64, 3)).astype(np.float32)
+        d[:, 2] = np.abs(d[:, 2]) + 1.0
+        d /= np.linalg.norm(d, -1, keepdims=True)
+        rays = jnp.asarray(np.concatenate([o, d], -1))
+        rgbs = jnp.asarray(rng.uniform(size=(64, 3)).astype(np.float32))
+
+        key = jax.random.PRNGKey(1)
+        for it in range(4):
+            key, sk = jax.random.split(key)
+            nmf, opt_state, metrics = step(nmf, opt_state, rays, rgbs,
+                                           jnp.ones(3), sk, weights)
+            assert np.isfinite(float(metrics["loss"])), it
+            nmf, changed = nmf.check_schedule(it + 1, 1)
+            if changed:
+                opt_state = tx.init(nmf)  # fixed mode: same step reused
+        assert nmf.rf.live_grid_size == (20, 20, 20)
+        # one jit cache entry despite the upsample + mask events
+        assert step._cache_size() == 1
