@@ -130,13 +130,8 @@ def quad_gather_2d(plane, coords, live_hw=None):
     """
     C, H, W = plane.shape
     ix0, iy0, wx, wy = _quad_prep(plane.shape, coords, live_hw)
-    quad = jnp.concatenate([
-        plane,
-        jnp.roll(plane, -1, axis=2),
-        jnp.roll(plane, -1, axis=1),
-        jnp.roll(jnp.roll(plane, -1, axis=1), -1, axis=2),
-    ], axis=0)  # (4C, H, W); rows ordered (0,0),(1,0),(0,1),(1,1) in (dx,dy)
-    rows = jnp.take(quad.reshape(4 * C, H * W).T, iy0 * W + ix0, axis=0)
+    # rows ordered (0,0),(1,0),(0,1),(1,1) in (dx,dy)
+    rows = jnp.take(_quad_table(plane), iy0 * W + ix0, axis=0)
     r = rows.astype(jnp.float32)
     w00 = (1 - wx) * (1 - wy)
     w10 = wx * (1 - wy)
@@ -173,9 +168,30 @@ def _quad_prep(plane_shape, coords, live_hw=None):
     return ix0, iy0, wx, wy
 
 
+# Experiment flag (on-chip A/B via runs/run_layout_ab.py): build the quad
+# table with the channel axis minor from the start. The default transpose
+# form makes XLA lay the (N, 4C) GATHER OUTPUT out column-major and pay
+# layout copies on the big gathered rows (observed 262144x288 bf16 copies
+# + converts ~7 ms/step in the flagship xplane trace); the row-major form
+# moves the transpose onto the small table instead. Values are
+# bit-identical (tested); default flips after an on-chip win.
+import os
+
+_QUAD_ROW_MAJOR = os.environ.get("NMF_QUAD_ROWMAJOR", "0") == "1"
+
+
 def _quad_table(plane):
     """(C, H, W) -> row-gatherable (H*W, 4C) corner table (quad layout)."""
     C, H, W = plane.shape
+    if _QUAD_ROW_MAJOR:
+        p = jnp.moveaxis(plane, 0, -1)  # (H, W, C)
+        q = jnp.concatenate([
+            p,
+            jnp.roll(p, -1, axis=1),
+            jnp.roll(p, -1, axis=0),
+            jnp.roll(jnp.roll(p, -1, axis=0), -1, axis=1),
+        ], axis=-1)  # (H, W, 4C), channel-minor
+        return q.reshape(H * W, 4 * C)
     quad = jnp.concatenate([
         plane,
         jnp.roll(plane, -1, axis=2),

@@ -331,3 +331,24 @@ class TestResamplePdf:
         a = resample_pdf(jax.random.PRNGKey(0), z, dists, w, valid, 16, False)
         b = resample_pdf(jax.random.PRNGKey(9), z, dists, w, valid, 16, False)
         np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
+class TestQuadTableLayout:
+    def test_row_major_table_bit_identical(self, monkeypatch):
+        """NMF_QUAD_ROWMAJOR builds the corner table channel-minor; values
+        must be bit-identical to the transpose form (it exists purely to
+        steer XLA layout assignment off the big gathered rows)."""
+        from nmf_tpu.ops import grid_sample as gs
+
+        rng = np.random.default_rng(0)
+        plane = jnp.asarray(rng.normal(size=(7, 11, 13)).astype(np.float32))
+        coords = jnp.asarray(
+            rng.uniform(-1.2, 1.2, size=(200, 2)).astype(np.float32))
+        monkeypatch.setattr(gs, "_QUAD_ROW_MAJOR", False)
+        t0 = np.asarray(gs._quad_table(plane))
+        a = np.asarray(gs.quad_gather_2d(plane, coords))
+        monkeypatch.setattr(gs, "_QUAD_ROW_MAJOR", True)
+        t1 = np.asarray(gs._quad_table(plane))
+        b = np.asarray(gs.quad_gather_2d(plane, coords))
+        np.testing.assert_array_equal(t0, t1)
+        np.testing.assert_array_equal(a, b)
