@@ -30,7 +30,7 @@ from ..modules.brdf import MLPBRDF
 from ..modules.brdf_samplers import GGXSampler, hammersley_draw
 from ..modules.render_modules import RandHydraMLPDiffuse
 from ..ops import sh
-from ..ops.masked import segment_sum_to
+from ..ops.masked import segment_sum_to, take_rows_binsum
 from ..ops.safemath import normalize
 
 EPS = float(jnp.finfo(jnp.float32).eps)
@@ -76,6 +76,10 @@ class Microfacet:
     std_decay: float = struct.field(pytree_node=False, default=1.0)
     std_decay_interval: int = struct.field(pytree_node=False, default=10)
     percent_bright: float = struct.field(pytree_node=False, default=0.0)
+    # route the collision-heavy bounce-ray scatters (parent-gather backward
+    # + composite segment sums; xplane: ~4.7 ms/step serialized) through
+    # the Pallas bin-sum kernel (ops/pallas/binsum.py)
+    scatter_kernel: bool = struct.field(pytree_node=False, default=False)
     cold_start_bg_iters: int = struct.field(pytree_node=False, default=0)
     freeze: bool = struct.field(pytree_node=False, default=False)
     russian_roulette: bool = struct.field(pytree_node=False, default=False)
@@ -195,7 +199,10 @@ class Microfacet:
             # and thus exact in f32
             starts[:, None].astype(jnp.float32),        # +12
         ], axis=-1)
-        P = parent[src]
+        if self.scatter_kernel:
+            P = take_rows_binsum(parent, src)
+        else:
+            P = parent[src]
         o = 7 + Cf
         bV = -P[:, 0:3]
         bN = P[:, 3:6]
@@ -311,7 +318,7 @@ class Microfacet:
                 tvalid = slot_valid[top_idx]
                 num_retrace = segment_sum_to(
                     tvalid[:, None].astype(jnp.float32), src[top_idx],
-                    tvalid, M)[:, 0]
+                    tvalid, M, binsum=self.scatter_kernel)[:, 0]
                 rtmask = num_retrace > 0
                 ray_count = jnp.where(rtmask, num_retrace, ray_count)
                 retraced_slot = jnp.zeros(budget, bool).at[top_idx].set(
@@ -329,7 +336,8 @@ class Microfacet:
 
         def packed_segment_sum(parts):
             out = segment_sum_to(jnp.concatenate(parts, axis=-1) / erc,
-                                 src, slot_valid, M)
+                                 src, slot_valid, M,
+                                 binsum=self.scatter_kernel)
             sizes = np.cumsum([0] + [p.shape[-1] for p in parts])
             return [out[:, a:b] for a, b in zip(sizes[:-1], sizes[1:])]
 

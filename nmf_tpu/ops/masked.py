@@ -15,8 +15,11 @@ primitives:
   replacing the reference's cumsum max_samples clamp (samplers/alphagrid.py:
   353-367) and select_bounces ray buffers (modules/pt_selectors.py:5-60).
 """
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def raw2alpha(sigma, dist):
@@ -109,7 +112,64 @@ def flat_compact(counts, budget: int):
     return src, slot_valid, kept_counts
 
 
-def segment_sum_to(values, seg_ids, valid, num_segments: int):
-    """Sum values (R, D) with segment ids (R,) into (num_segments, D)."""
+def segment_sum_to(values, seg_ids, valid, num_segments: int,
+                   binsum: bool = False):
+    """Sum values (R, D) with segment ids (R,) into (num_segments, D).
+
+    binsum=True routes the (collision-serialized) scatter-add through the
+    Pallas bin-sum kernel (ops/pallas/binsum.py): same regrouped sum,
+    backward is a plain gather."""
     vals = jnp.where(valid[:, None], values, 0.0)
+    if binsum:
+        # out-of-range ids are dropped by the kernel; park invalid rows
+        # there so they can't alias a real segment
+        ids = jnp.where(valid, seg_ids, num_segments)
+        return _binsum_segment_sum(vals, ids.astype(jnp.int32),
+                                   num_segments)
     return jax.ops.segment_sum(vals, seg_ids, num_segments=num_segments)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _binsum_segment_sum(vals, ids, num_segments):
+    from .pallas.binsum import binsum_rows
+
+    return binsum_rows(ids, vals, num_segments)
+
+
+def _bss_fwd(vals, ids, num_segments):
+    return _binsum_segment_sum(vals, ids, num_segments), ids
+
+
+def _bss_bwd(num_segments, ids, g):
+    in_range = (ids >= 0) & (ids < num_segments)
+    dv = jnp.take(g, jnp.clip(ids, 0, num_segments - 1), axis=0)
+    dv = jnp.where(in_range[:, None], dv, 0.0)
+    return dv, np.zeros(ids.shape, dtype=jax.dtypes.float0)
+
+
+_binsum_segment_sum.defvjp(_bss_fwd, _bss_bwd)
+
+
+@jax.custom_vjp
+def take_rows_binsum(x, idx):
+    """``x[idx]`` (axis 0) whose backward scatter-add goes through the
+    Pallas bin-sum kernel -- for gathers with REPEATED indices (e.g. many
+    bounce rays per parent sample) whose transpose XLA serializes on the
+    collisions."""
+    return jnp.take(x, idx, axis=0)
+
+
+def _trb_fwd(x, idx):
+    return jnp.take(x, idx, axis=0), (x.shape[0], idx)
+
+
+def _trb_bwd(res, g):
+    from .pallas.binsum import binsum_rows
+
+    m, idx = res
+    dx = binsum_rows(idx.astype(jnp.int32), g.astype(jnp.float32), m)
+    # g.dtype == out.dtype == x.dtype (take preserves dtype)
+    return dx.astype(g.dtype), np.zeros(idx.shape, dtype=jax.dtypes.float0)
+
+
+take_rows_binsum.defvjp(_trb_fwd, _trb_bwd)

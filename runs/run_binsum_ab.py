@@ -31,7 +31,7 @@ FLAGSHIP = [
 ]
 
 
-def run(on, n_iters=30):
+def run(on, n_iters=30, model_arm=False):
     import jax
     import jax.numpy as jnp
 
@@ -41,6 +41,10 @@ def run(on, n_iters=30):
     if on:
         overrides += ["field.scatter_kernel=true",
                       "model.arch.bg_module.scatter_kernel=true"]
+    if model_arm:
+        # bounce-ray scatters: parent-gather backward + composite segment
+        # sums (xplane fusion.45/fusion.40, ~4.7 ms/step serialized)
+        overrides += ["model.arch.model.scatter_kernel=true"]
     nmf = bench._build(overrides)
     key = jax.random.PRNGKey(0)
     tx = trainer.make_optimizer(nmf, trainer.OptimConfig(n_iters=30000))
@@ -77,12 +81,18 @@ def run(on, n_iters=30):
 if __name__ == "__main__":
     dt_off, loss_off = run(False)
     dt_on, loss_on = run(True)
-    a, b = np.asarray(loss_off), np.asarray(loss_on)
+    dt_all, loss_all = run(True, model_arm=True)
+    a, b, c = (np.asarray(loss_off), np.asarray(loss_on),
+               np.asarray(loss_all))
     out = {
         "step_ms_off": round(dt_off * 1e3, 2),
         "step_ms_on": round(dt_on * 1e3, 2),
+        "step_ms_on_plus_model": round(dt_all * 1e3, 2),
         "speedup_e2e": round(dt_off / dt_on, 4),
+        "speedup_e2e_plus_model": round(dt_off / dt_all, 4),
         "loss_rel_err_max": float(np.max(np.abs(a - b) / (np.abs(a) + 1e-8))),
+        "loss_rel_err_max_model": float(
+            np.max(np.abs(a - c) / (np.abs(a) + 1e-8))),
         "loss_final_off": float(a[-1]),
         "loss_final_on": float(b[-1]),
     }

@@ -187,3 +187,76 @@ class TestBinsumEndToEnd:
 
         a, b = run(False), run(True)
         np.testing.assert_allclose(b, a, rtol=2e-4)
+
+
+class TestModelScatterKernel:
+    def test_unit_parity(self):
+        """take_rows_binsum / segment_sum_to(binsum=True) == XLA exactly
+        (interpret mode)."""
+        from nmf_tpu.ops.masked import segment_sum_to, take_rows_binsum
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(50, 7)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 50, size=(200,)).astype(np.int32))
+        np.testing.assert_array_equal(
+            np.asarray(take_rows_binsum(x, idx)), np.asarray(x[idx]))
+        ga = jax.grad(lambda x: (x[idx] ** 2).sum())(x)
+        gb = jax.grad(lambda x: (take_rows_binsum(x, idx) ** 2).sum())(x)
+        np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+
+        v = jnp.asarray(rng.normal(size=(200, 5)).astype(np.float32))
+        valid = jnp.asarray(rng.integers(0, 2, size=(200,)).astype(bool))
+        a = segment_sum_to(v, idx, valid, 50)
+        b = segment_sum_to(v, idx, valid, 50, binsum=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        ga = jax.grad(
+            lambda v: (segment_sum_to(v, idx, valid, 50) ** 3).sum())(v)
+        gb = jax.grad(lambda v: (
+            segment_sum_to(v, idx, valid, 50, binsum=True) ** 3).sum())(v)
+        np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+
+    def test_flagship_trajectory_parity(self):
+        """model.arch.model.scatter_kernel (bounce parent-gather backward +
+        composite segment sums through the bin-sum kernel) is an exact
+        regrouping: short flagship loss trajectories must agree."""
+        from nmf_tpu import config as config_lib, trainer
+        from nmf_tpu.builders import build_nmf
+
+        def run(on):
+            o = ["model=microfacet_tensorf2", "dataset=synthetic_sphere",
+                 "field.N_voxel_init=4096", "field.N_voxel_final=4096",
+                 "field.upsamp_list=[]",
+                 "model.arch.max_samples_per_ray=16",
+                 "model.arch.recur_samples_per_ray=8",
+                 "model.arch.model.brdf_ray_budget=[512,128]",
+                 "model.arch.model.max_retrace_rays=[64]",
+                 "model.arch.bg_module.bg_resolution=32"]
+            if on:
+                o += ["model.arch.model.scatter_kernel=true"]
+            cfg = config_lib.compose(o)
+            aabb = np.array([[-1.5] * 3, [1.5] * 3], np.float32)
+            nmf = build_nmf(jax.random.PRNGKey(0), cfg["model"]["arch"],
+                            aabb, (2.0, 6.0))
+            assert nmf.model.scatter_kernel == on
+            tx = trainer.make_optimizer(nmf, trainer.OptimConfig(n_iters=10))
+            st = tx.init(nmf)
+            step = trainer.make_train_step(tx)
+            w = trainer.LossWeights()
+            rng = np.random.default_rng(0)
+            rays = np.concatenate(
+                [np.tile([[0, 0, -4.0]], (128, 1)),
+                 rng.normal(size=(128, 3))], -1).astype(np.float32)
+            rays[:, 3:] /= np.linalg.norm(rays[:, 3:], axis=-1,
+                                          keepdims=True)
+            rgbs = rng.uniform(size=(128, 3)).astype(np.float32)
+            key = jax.random.PRNGKey(0)
+            losses = []
+            for _ in range(3):
+                key, sk = jax.random.split(key)
+                nmf, st, m = step(nmf, st, jnp.asarray(rays),
+                                  jnp.asarray(rgbs), jnp.ones(3), sk, w)
+                losses.append(float(m["loss"]))
+            return np.asarray(losses)
+
+        a, b = run(False), run(True)
+        np.testing.assert_allclose(b, a, rtol=2e-4)
