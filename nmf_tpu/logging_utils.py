@@ -15,9 +15,24 @@ class RunLogger:
     def __init__(self, logdir, echo=print):
         self.logdir = Path(logdir)
         self.logdir.mkdir(parents=True, exist_ok=True)
-        self._f = open(self.logdir / "metrics.jsonl", "a")
+        mfile = self.logdir / "metrics.jsonl"
+        # resume continuity: `t` must keep counting total wall-clock across
+        # restarts (resume=True appends to the same file), else
+        # time-to-PSNR reporting (tabularize --time-to-db) understates
+        # resumed runs. Offset the clock by the last recorded t.
+        prev_t = 0.0
+        if mfile.exists():
+            try:
+                for line in mfile.read_text().splitlines()[::-1]:
+                    rec = json.loads(line)
+                    if "t" in rec:
+                        prev_t = float(rec["t"])
+                        break
+            except (ValueError, OSError):
+                pass
+        self._f = open(mfile, "a")
         self._echo = echo
-        self._t0 = time.time()
+        self._t0 = time.time() - prev_t
         self._tb = None
         try:
             from torch.utils.tensorboard import SummaryWriter

@@ -138,14 +138,12 @@ def main(argv=None):
         if not ttd:
             print(f"no metrics.jsonl found under {args.logdir}",
                   file=sys.stderr)
-            return 1
-        return 0
 
     keys = [k for k in args.keys.split(",") if k]
     rows = collect(args.logdir)
     if not rows:
         print(f"no stats*.yaml found under {args.logdir}", file=sys.stderr)
-        return 1
+        return 0 if args.time_to_db is not None else 1
     if args.json:
         print(json.dumps(rows, indent=2, sort_keys=True))
     else:

@@ -3,7 +3,7 @@
 # 400px hemisphere, fixed 300^3 grid (noupsample variant: one train-step
 # signature for the whole run).
 cd /root/repo
-python train.py model=microfacet_tensorf2 dataset=synthetic_cluster \
+timeout 21600 python train.py model=microfacet_tensorf2 dataset=synthetic_cluster \
   dataset.n_views=100 dataset.image_size=400 \
   seed=20211200 \
   model.params.max_batch_size=4096 \

@@ -9,7 +9,7 @@
 # recompile. save_every+resume let a retry continue from the last
 # checkpoint instead of restarting the 30k schedule.
 cd /root/repo
-python train.py model=microfacet_tensorf2 dataset=synthetic_shiny \
+timeout 21600 python train.py model=microfacet_tensorf2 dataset=synthetic_shiny \
   dataset.hemisphere=true dataset.n_views=100 dataset.image_size=400 \
   seed=20211200 \
   model.params.max_batch_size=4096 \

@@ -10,7 +10,7 @@ table moves that transpose onto the 9 MB table. Values are bit-identical
 train-step wall time both ways on the chip.
 
 Run each arm in a fresh process (the flag is read at import): this script
-re-execs itself. Appends one JSON line to runs/layout_ab.json.
+re-execs itself. Writes the result to runs/layout_ab.json.
 """
 import json
 import os
@@ -47,7 +47,7 @@ def measure():
     o = np.tile([[0.0, 0.0, -4.0]], (B, 1)).astype(np.float32)
     d = rng.normal(size=(B, 3)).astype(np.float32)
     d[:, 2] = np.abs(d[:, 2]) + 1.0
-    d /= np.linalg.norm(d, -1, keepdims=True)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
     rays = jnp.asarray(np.concatenate([o, d], -1))
     rgbs = jnp.asarray(rng.uniform(size=(B, 3)).astype(np.float32))
 

@@ -1,7 +1,7 @@
 #!/bin/bash
 # tensorf comparison row on the 400px hemisphere protocol.
 cd /root/repo
-python train.py model=tensorf dataset=synthetic_shiny \
+timeout 21600 python train.py model=tensorf dataset=synthetic_shiny \
   dataset.hemisphere=true dataset.n_views=100 dataset.image_size=400 \
   seed=20211200 \
   model.params.max_batch_size=4096 \

@@ -1118,7 +1118,7 @@ class TestMlpDtype:
         o = np.tile([[0.0, 0.0, -4.0]], (64, 1)).astype(np.float32)
         d = rng.normal(size=(64, 3)).astype(np.float32)
         d[:, 2] = np.abs(d[:, 2]) + 1.0
-        d /= np.linalg.norm(d, -1, keepdims=True)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
         rays = jnp.asarray(np.concatenate([o, d], -1))
         ims, _ = render(nmf, rays, jax.random.PRNGKey(1), is_train=False)
         assert np.all(np.isfinite(np.asarray(ims["rgb_map"])))

@@ -275,7 +275,7 @@ class TestFixedShapeCLI:
         o = np.tile([[0.0, 0.0, -4.0]], (32, 1)).astype(np.float32)
         d = rng.normal(size=(32, 3)).astype(np.float32)
         d[:, 2] = np.abs(d[:, 2]) + 1.0
-        d /= np.linalg.norm(d, -1, keepdims=True)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
         rays = jnp.asarray(np.concatenate([o, d], -1))
         k = jax.random.PRNGKey(0)
         out1, _ = render(nmf, rays, k, is_train=False)
@@ -365,7 +365,7 @@ class TestFixedShapeMicrofacet:
         o = np.tile([[0.0, 0.0, -4.0]], (64, 1)).astype(np.float32)
         d = rng.normal(size=(64, 3)).astype(np.float32)
         d[:, 2] = np.abs(d[:, 2]) + 1.0
-        d /= np.linalg.norm(d, -1, keepdims=True)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
         rays = jnp.asarray(np.concatenate([o, d], -1))
         rgbs = jnp.asarray(rng.uniform(size=(64, 3)).astype(np.float32))
 
