@@ -76,3 +76,36 @@ class TestStreaming:
                         (2.0, 6.0))
         with pytest.raises(ValueError):
             render_streaming(nmf, jnp.zeros((4, 6)))
+
+
+class TestStreamingFixedShape:
+    def test_fixed_shape_field_streams(self):
+        """Streaming inference over a fixed-shape (padded) field matches the
+        batch renderer — live-resolution index math rides through the
+        blockwise march unchanged."""
+        from nmf_tpu.fields.tensorf import init_tensorvm_split
+        from nmf_tpu.models.tensorf import init_tensorf_shade
+        from nmf_tpu.render import NMF
+        from nmf_tpu.samplers.alphagrid import AlphaGridSampler
+
+        ds = make_sphere_dataset(n_views=2, H=24, W=24)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+        rf = init_tensorvm_split(
+            k1, ds["scene_bbox"], grid_size=[24] * 3, N_voxel_init=24 ** 3,
+            N_voxel_final=32 ** 3, upsamp_list=(5,), fixed_shape=True)
+        rf, changed = rf.check_schedule(5)  # move live reso off its init
+        assert changed
+        sampler = AlphaGridSampler(
+            alpha_mask=None, aabb=jnp.asarray(ds["scene_bbox"]),
+            near_far=tuple(ds["near_far"])).update(rf, init=True)
+        model = init_tensorf_shade(k2, rf.app_dim)
+        nmf = NMF(rf=rf, sampler=sampler, model=model,
+                  max_samples_per_ray=-1)
+
+        rays = jnp.asarray(ds["all_rays"][:128])
+        ims, _ = render(nmf, rays, jax.random.PRNGKey(0), is_train=False,
+                        bg_col=(1.0, 1.0, 1.0))
+        stream = render_streaming(nmf, rays, block=32, t_thresh=0.0)
+        diff = np.abs(np.asarray(ims["rgb_map"])
+                      - np.asarray(stream["rgb_map"])).max()
+        assert diff < 5e-3, diff
