@@ -215,5 +215,37 @@ def bench_all(quick=False):
     }))
 
 
+def _tpu_alive(timeout_s=300) -> bool:
+    """Probe the (possibly tunneled) TPU backend in a subprocess with a hard
+    timeout: a dead tunnel hangs backend init indefinitely, which would
+    otherwise turn a bench invocation into a silent hang."""
+    import subprocess
+
+    code = ("import jax; d = jax.devices(); "
+            "assert d and d[0].platform != 'cpu'; "
+            "import jax.numpy as jnp; "
+            "assert float(jnp.ones(4).sum()) == 4.0")
+    try:
+        return subprocess.run([sys.executable, "-c", code],
+                              capture_output=True,
+                              timeout=timeout_s).returncode == 0
+    except Exception:
+        return False
+
+
 if __name__ == "__main__":
+    if not _tpu_alive():
+        # Honest degraded mode: the driver still gets a record instead of a
+        # hang/crash. value=0 marks "no TPU measurement"; the real numbers
+        # live in the committed BENCH history / PROGRESS.md ledger.
+        print(json.dumps({
+            "metric": "train_rays_per_sec_microfacet",
+            "value": 0.0,
+            "unit": "rays/s/chip",
+            "vs_baseline": 0.0,
+            "extra": {"error": "TPU backend unreachable (axon tunnel down); "
+                               "no measurement taken. Last measured: 42597 "
+                               "rays/s/chip = 10.6x (PROGRESS.md)"},
+        }))
+        sys.exit(0)
     bench_all(quick=(len(sys.argv) > 1 and sys.argv[1] == "quick"))
