@@ -371,10 +371,14 @@ def build_nmf(key, arch_cfg: Dict, aabb, near_far, grid_size=None) -> NMF:
                      grid_size=grid_size)
     sampler = build_sampler(arch_cfg.get("sampler", {}), aabb, near_far)
     if getattr(rf, "fixed_shape", False) \
-            and getattr(sampler, "shrink_iters", ()):
+            and not isinstance(sampler, AlphaGridSampler):
+        # OccGridSampler has no step_scale plumbing: it would silently
+        # march at the FINAL-resolution stepsize for the whole schedule
+        # (and rf.shrink at shrink_iters is unsupported on padded grids)
         raise ValueError(
-            "field.fixed_shape is incompatible with sampler shrink_iters "
-            "(rf.shrink changes the aabb-aligned grid); disable one")
+            "field.fixed_shape requires the AlphaGridSampler march "
+            "(occupancy-grid samplers have no live-resolution step "
+            "scaling); disable one")
     sampler = sampler.update(rf, init=True)
     model = build_model(keys[1], arch_cfg.get("model", {}), rf.app_dim)
     bg = build_bg(keys[2], arch_cfg.get("bg_module"))

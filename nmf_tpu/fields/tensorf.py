@@ -447,8 +447,6 @@ class TensorVMSplit:
             lines.append(jnp.concatenate(parts_l, axis=0))
 
         uniform = False  # per-plane quad gathers avoid (3,...) layout copies
-        if self.fixed_shape:
-            uniform = False  # vmap path has no live-reso plumbing
         # gather in bf16 (halves HBM bytes moved by the gathers; the
         # reference likewise keeps its grids in half precision,
         # tensor_base.py:188). Products/contractions accumulate in f32.
@@ -579,12 +577,18 @@ class TensorVMSplit:
             if live is None:
                 total = total + jnp.abs(pl).mean() + jnp.abs(ln).mean()
             else:
+                # mask BEFORE abs: |0| contributes nothing to the value but
+                # JAX's abs gradient at 0 is 1.0 -- an unmasked sum would
+                # leak constant gradient into every pad cell and Adam would
+                # break the zero-padding invariant
                 m0, m1 = MAT_MODE[i]
                 v = VEC_MODE[i]
                 np_live = pl.shape[0] * live[m1] * live[m0]
                 nl_live = ln.shape[0] * live[v]
-                total = total + jnp.abs(pl).sum() / np_live \
-                    + jnp.abs(ln).sum() / nl_live
+                total = total \
+                    + jnp.abs(_mask_live_2d(pl, (live[m1], live[m0]))).sum() \
+                    / np_live \
+                    + jnp.abs(_mask_live_1d(ln, live[v])).sum() / nl_live
         return total
 
     def _tv(self, x2d, live_hw=None):
