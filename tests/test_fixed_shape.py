@@ -438,3 +438,44 @@ class TestFixedShapeBinsumGather:
         with pytest.raises(ValueError, match="fixed_shape requires"):
             build_nmf(jax.random.PRNGKey(0), cfg["model"]["arch"], aabb,
                       (2.0, 6.0))
+
+
+class TestFixedShapeResume:
+    def test_midrun_resume_fixed(self, tmp_path):
+        """save_every/resume across a fixed-shape schedule: the restored
+        live_reso/step_scale leaves carry the schedule position, past
+        events are skipped, future ones still fire (the exact path
+        runs/run_flagship_fixed400.sh retries through)."""
+        from nmf_tpu import config as config_lib
+        from nmf_tpu.train import reconstruction
+
+        base = [
+            "model=tensorf", "dataset=synthetic_sphere",
+            "dataset.image_size=16", "dataset.n_views=2",
+            "model.params.batch_size=64",
+            "field.N_voxel_init=4096", "field.N_voxel_final=8000",
+            "field.upsamp_list=[3,8]", "field.fixed_shape=True",
+            "model.arch.sampler.update_list=[2]",
+            "model.arch.max_samples_per_ray=24",
+            "vis_every=0", "N_vis=0", "render_test=False",
+            f"basedir={tmp_path}", "expname=rfx", "chain_steps=2",
+            "progress_refresh_rate=2", "save_every=4",
+        ]
+        # run A: dies at iter 6 (first upsample at 3 done; latest.th @ 4)
+        nmf_a, _ = reconstruction(
+            config_lib.compose(base + ["model.params.n_iters=6"]),
+            log=lambda *a, **k: None)
+        mid_live = nmf_a.rf.live_grid_size
+        assert mid_live[0] > 16  # iter-3 upsample fired pre-crash
+        latest = (tmp_path / "synthetic_sphere_rfx"
+                  / "synthetic_sphere_rfx_latest.th")
+        assert latest.exists()
+        # run B: resume to 10 -- crosses the second upsample at 8
+        nmf_b, _ = reconstruction(
+            config_lib.compose(base + ["model.params.n_iters=10",
+                                       "resume=True"]),
+            log=lambda *a, **k: None)
+        assert nmf_b.rf.fixed_shape
+        assert nmf_b.rf.grid_size == (20, 20, 20)       # padded static
+        assert nmf_b.rf.live_grid_size == (20, 20, 20)  # second event fired
+        assert float(nmf_b.sampler.step_scale) <= 1.0 + 1e-6
