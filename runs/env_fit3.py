@@ -1,0 +1,100 @@
+"""Identifiability oracle: supervise through the query path at MIXED
+footprints with scale-CONSISTENT targets (a perfect map queried at the
+same (dir, sa)). If the raw-map metric recovers, the query path is sound
+and envmap quality is a training-signal question, not a code bug."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nmf_tpu.data.synthetic import _ShinyEnv
+from nmf_tpu.eval import calc_envmap_metrics
+from nmf_tpu.modules.bg import init_integral_equirect
+
+
+def fit(sa_lo, sa_hi, tv_w=0.0, H=64, steps=3000, batch=8192, lr=0.05,
+        seed=0):
+    key = jax.random.PRNGKey(seed)
+    bg = init_integral_equirect(key, bg_resolution=H, activation="exp")
+    env = _ShinyEnv(H=H)
+    gt_pano = np.roll(env.map, env.W // 2, axis=1)[:, ::-1].copy()
+    bg_perfect = bg.replace(bg_mat=jnp.asarray(
+        np.log(np.clip(np.transpose(env.map, (2, 0, 1)), 1e-6, None))))
+    cache_p = bg_perfect.prepare(with_sh=False)
+
+    opt = optax.adam(lr)
+    params = bg.bg_mat
+    opt_state = opt.init(params)
+
+    def step(p, s, d, sa):
+        tgt = jax.lax.stop_gradient(bg_perfect(d, sa, cache=cache_p))
+        def lf(p):
+            b = bg.replace(bg_mat=p)
+            pred = b(d, sa, cache=b.prepare(with_sh=False))
+            l = (jnp.clip(pred - tgt, -1, 1) ** 2).mean()
+            if tv_w > 0:
+                l = l + tv_w * b.tv_loss()
+            return l
+        l, g = jax.value_and_grad(lf)(p)
+        up, s = opt.update(g, s)
+        return optax.apply_updates(p, up), s, l
+
+    step = jax.jit(step)
+    rng = np.random.default_rng(seed)
+    for i in range(steps):
+        d = rng.normal(size=(batch, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        sa = rng.uniform(sa_lo, sa_hi, size=(batch,)).astype(np.float32)
+        params, opt_state, l = step(params, opt_state, jnp.asarray(d),
+                                    jnp.asarray(sa))
+        if i % 1000 == 0:
+            print(f"[sa {sa_lo}..{sa_hi} tv={tv_w}] step {i} "
+                  f"loss {float(l):.6f}")
+    bg = bg.replace(bg_mat=params)
+    m = calc_envmap_metrics(bg, gt_pano, fH=H)
+    print(f"[sa {sa_lo}..{sa_hi} tv={tv_w}] map metric: {m}")
+    return m
+
+
+if __name__ == "__main__":
+    fit(-9.0, -2.0)           # mixed, consistent
+    fit(-9.0, -9.0)           # sharp-only, consistent
+    fit(-9.0, -9.0, tv_w=1.0)  # sharp-only + TV on raw map
+
+def fit_mipnoise(noise, H=64, steps=3000, batch=8192, lr=0.05, seed=0):
+    key = jax.random.PRNGKey(seed)
+    bg = init_integral_equirect(key, bg_resolution=H, activation="exp",
+                                mipnoise=noise)
+    env = _ShinyEnv(H=H)
+    gt_pano = np.roll(env.map, env.W // 2, axis=1)[:, ::-1].copy()
+    bg_perfect = bg.replace(bg_mat=jnp.asarray(
+        np.log(np.clip(np.transpose(env.map, (2, 0, 1)), 1e-6, None))),
+        mipnoise=0.0)
+    cache_p = bg_perfect.prepare(with_sh=False)
+    opt = optax.adam(lr)
+    params = bg.bg_mat
+    opt_state = opt.init(params)
+
+    def step(p, s, d, sa, k):
+        tgt = jax.lax.stop_gradient(bg_perfect(d, sa, cache=cache_p))
+        def lf(p):
+            b = bg.replace(bg_mat=p)
+            pred = b(d, sa, cache=b.prepare(with_sh=False), key=k)
+            return (jnp.clip(pred - tgt, -1, 1) ** 2).mean()
+        l, g = jax.value_and_grad(lf)(p)
+        up, s = opt.update(g, s)
+        return optax.apply_updates(p, up), s, l
+
+    step = jax.jit(step)
+    rng = np.random.default_rng(seed)
+    k = jax.random.PRNGKey(seed + 1)
+    for i in range(steps):
+        d = rng.normal(size=(batch, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        sa = np.full((batch,), -9.0, np.float32)
+        k, sk = jax.random.split(k)
+        params, opt_state, l = step(params, opt_state, jnp.asarray(d),
+                                    jnp.asarray(sa), sk)
+    bg = bg.replace(bg_mat=params)
+    m = calc_envmap_metrics(bg, gt_pano, fH=H)
+    print(f"[mipnoise={noise} sharp-only] map metric: {m}")
