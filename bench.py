@@ -5,7 +5,8 @@ The LAST stdout line is ONE JSON object with the driver contract keys
 {"metric", "value", "unit", "vs_baseline"} for the flagship microfacet
 train step, plus an "extra" dict holding every other config's line and the
 roofline estimate (flops/bytes per step from XLA cost analysis ->
-MFU / HBM utilization on a v5e: 197 TFLOP/s bf16, 819 GB/s).
+MFU / HBM-bound estimate against the attached device's peaks, looked up
+from jax.devices()[0].device_kind).
 
 Baseline constant: the reference (half-potato/nmf) publishes no numbers
 (BASELINE.md); its CUDA training loop on an A100 consumes ~4096-8000 rays
@@ -34,9 +35,34 @@ def _enable_compile_cache():
 
 _enable_compile_cache()
 
+# ASSUMED, not measured: the reference publishes no throughput numbers
+# (BASELINE.md). Every vs_baseline ratio derived from this constant carries
+# its error bars; the emitted JSON marks this with "baseline_assumed": true.
 REFERENCE_A100_RAYS_PER_SEC = 4000.0
-V5E_PEAK_BF16_FLOPS = 197e12
-V5E_HBM_BYTES_PER_SEC = 819e9
+
+# Peak specs per TPU generation, keyed by substrings of
+# jax.devices()[0].device_kind: (bf16 FLOP/s, HBM bytes/s). Public numbers
+# from cloud.google.com/tpu/docs system architecture pages.
+TPU_PEAKS = {
+    "v5 lite": (197e12, 819e9),   # v5e
+    "v5e": (197e12, 819e9),
+    "v5p": (459e12, 2765e9),
+    "v4": (275e12, 1228e9),
+    "v6": (918e12, 1640e9),       # Trillium / v6e
+}
+DEFAULT_PEAKS = (197e12, 819e9)
+
+
+def _device_peaks():
+    """Look up (peak_flops, peak_hbm_bw) from the attached device kind
+    instead of hard-coding one generation (VERDICT r2 weak #7)."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peaks in TPU_PEAKS.items():
+        if key in kind:
+            return kind, peaks
+    return kind, DEFAULT_PEAKS
 
 
 def _rays(B, seed=0):
@@ -155,14 +181,30 @@ def bench_all(quick=False):
     results["microfacet_flagship"] = {"rays_per_sec": round(rps, 1),
                                       "step_ms": round(step_s * 1e3, 2)}
     if ca and ca["flops"]:
+        kind, (peak_flops, peak_bw) = _device_peaks()
+        # XLA cost_analysis() bytes double-count fused buffers, so
+        # bytes/step is an UPPER BOUND, not a measurement (VERDICT r2 weak
+        # #2: a prior round reported hbm_util 1.22 from the raw number).
+        # Report utilizations as physically-valid quantities: flops are
+        # well-defined, so mfu uses them directly; for HBM the honest
+        # statement is the roofline *bound* — the fraction of the measured
+        # step that the byte estimate alone would occupy at peak bandwidth,
+        # capped at 1.0 and labeled an estimate.
+        hbm_bound_s = ca["bytes"] / peak_bw
         results["roofline"] = {
+            "device_kind": kind,
+            "peak_bf16_flops": peak_flops,
+            "peak_hbm_bytes_per_sec": peak_bw,
             "flops_per_step": ca["flops"],
-            "bytes_per_step": ca["bytes"],
-            "mfu": round(ca["flops"] / step_s / V5E_PEAK_BF16_FLOPS, 4),
-            "hbm_util": round(ca["bytes"] / step_s / V5E_HBM_BYTES_PER_SEC,
-                              4),
+            "bytes_per_step_upper_bound": ca["bytes"],
+            "mfu": round(ca["flops"] / step_s / peak_flops, 4),
+            "hbm_util": round(min(1.0, hbm_bound_s / step_s), 4),
+            "hbm_bound_ms": round(hbm_bound_s * 1e3, 2),
             "arith_intensity_flops_per_byte": round(
                 ca["flops"] / max(ca["bytes"], 1), 2),
+            "note": "bytes from XLA cost_analysis (double-counts fused "
+                    "buffers); hbm_util = min(1, bytes_bound/step) is an "
+                    "estimate, not a counter measurement",
         }
     flagship = rps
 
@@ -211,6 +253,10 @@ def bench_all(quick=False):
         "value": round(flagship, 1),
         "unit": "rays/s/chip",
         "vs_baseline": round(flagship / REFERENCE_A100_RAYS_PER_SEC, 3),
+        "baseline_assumed": True,
+        "baseline_note": f"reference publishes no throughput; "
+                         f"{REFERENCE_A100_RAYS_PER_SEC:.0f} rays/s A100 is "
+                         f"an assumption (BASELINE.md)",
         "extra": results,
     }))
 
@@ -243,6 +289,7 @@ if __name__ == "__main__":
             "value": 0.0,
             "unit": "rays/s/chip",
             "vs_baseline": 0.0,
+            "baseline_assumed": True,
             "extra": {"error": "TPU backend unreachable (axon tunnel down); "
                                "no measurement taken. Last measured: 42597 "
                                "rays/s/chip = 10.6x (PROGRESS.md)"},
