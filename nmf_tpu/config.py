@@ -35,6 +35,16 @@ def _parse_value(s: str) -> Any:
         return s
 
 
+def _deep_update(dst: Dict, over: Dict):
+    """In-place deep merge (keeps the field<->model.arch.rf aliasing that
+    compose() relies on, unlike the copying _deep_merge)."""
+    for k, v in over.items():
+        if isinstance(v, dict) and isinstance(dst.get(k), dict):
+            _deep_update(dst[k], v)
+        else:
+            dst[k] = v
+
+
 def _set_dotted(cfg: Dict, dotted: str, value: Any):
     keys = dotted.split(".")
     d = cfg
@@ -89,19 +99,41 @@ def compose(overrides: Optional[List[str]] = None,
     for group, name in selections.items():
         cfg[group] = load_group(group, str(name), config_dir)
 
-    # dual-scene training selects a second dataset with dataset2=<name>
-    rest2 = []
+    # dual-scene training selects a second dataset with dataset2=<name>;
+    # params=<name> selects a tuning preset from configs/params/ (the
+    # reference's orphan configs/params/*.yaml group — not in its defaults
+    # list, applied on demand). Preset files are structured override trees
+    # (model:/field: subtrees) merged between the group files and the
+    # dotted CLI overrides, so CLI still wins.
+    rest2, params_sel = [], None
     for k, v in rest:
         if k == "dataset2":
             cfg["dataset2"] = load_group("dataset", str(v), config_dir)
+        elif k == "params":
+            params_sel = str(v)
         else:
             rest2.append((k, v))
     rest = rest2
+    bg_upsamp = None
+    if params_sel is not None:
+        preset = load_group("params", params_sel, config_dir)
+        # bg_upsamp applies only when the composed model has a bg module
+        # (reference train.py:298-308: hasattr(params, 'bg_upsamp_res')
+        # and tensorf.bg_module is not None).
+        bg_upsamp = preset.pop("bg_upsamp", None)
+        cfg["params_preset"] = params_sel
+        _deep_update(cfg, preset)
 
     # the reference grafts the field config into model.arch.rf
     # (train.py:911: cfg.model.arch.rf = cfg.field)
     if "field" in cfg and "model" in cfg and "arch" in cfg.get("model", {}):
         cfg["model"]["arch"]["rf"] = cfg["field"]
+
+    if bg_upsamp:
+        bg = cfg.get("model", {}).get("arch", {}).get("bg_module")
+        if isinstance(bg, dict):
+            bg["bg_resolution"] = bg_upsamp["resolution"]
+            bg["lr"] = bg_upsamp["lr"]
 
     for k, v in rest:
         _set_dotted(cfg, k, _parse_value(v))

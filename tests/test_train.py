@@ -590,6 +590,62 @@ class TestConfigSurface:
             assert nmf.model is not None and nmf.rf is not None, (m, f)
 
 
+class TestParamsGroup:
+    """The reference's configs/params/*.yaml presets (orphan hydra group),
+    surfaced here as params=<name> (VERDICT r2 next #7)."""
+
+    def test_all_presets_compose(self):
+        names = ["bounce", "n360", "reflective", "slow_upsamp", "tensorf"]
+        for name in names:
+            cfg = config_lib.compose([
+                "model=microfacet_tensorf2", "dataset=synthetic_sphere",
+                f"params={name}"])
+            assert cfg["params_preset"] == name
+            # every preset pins the reference L1 schedule
+            assert cfg["model"]["params"]["L1_weight_initial"] == 8e-5
+            assert cfg["model"]["params"]["L1_weight_rest"] == 4e-5
+
+    def test_reflective_maps_live_keys(self):
+        cfg = config_lib.compose([
+            "model=microfacet_tensorf2", "dataset=synthetic_sphere",
+            "params=reflective"])
+        assert cfg["field"]["N_voxel_final"] == 134217728  # 512^3
+        assert cfg["model"]["arch"]["sampler"]["update_list"] == [4000, 70000]
+        # the field<->model.arch.rf graft must survive the preset merge
+        assert cfg["model"]["arch"]["rf"]["N_voxel_final"] == 134217728
+
+    def test_cli_override_beats_preset(self):
+        cfg = config_lib.compose([
+            "model=microfacet_tensorf2", "dataset=synthetic_sphere",
+            "params=reflective", "field.N_voxel_final=4096"])
+        assert cfg["field"]["N_voxel_final"] == 4096
+        assert cfg["model"]["arch"]["rf"]["N_voxel_final"] == 4096
+
+    def test_bg_upsamp_applies_only_with_bg_module(self):
+        # reference train.py:298-308: bg res/lr override is guarded on the
+        # model having a bg module; params=tensorf carries bg_upsamp.
+        cfg = config_lib.compose([
+            "model=microfacet_tensorf2", "dataset=synthetic_sphere",
+            "params=tensorf"])
+        assert cfg["model"]["arch"]["bg_module"]["bg_resolution"] == 256
+        assert cfg["model"]["arch"]["bg_module"]["lr"] == 0.03
+        cfg = config_lib.compose([
+            "model=tensorf", "dataset=synthetic_sphere", "params=tensorf"])
+        assert cfg["model"]["arch"]["bg_module"] is None
+
+    def test_preset_builds(self):
+        from nmf_tpu.builders import build_nmf
+
+        cfg = config_lib.compose([
+            "model=microfacet_tensorf2", "dataset=synthetic_sphere",
+            "params=bounce", "field.N_voxel_init=4096",
+            "field.N_voxel_final=4096", "field.upsamp_list=[]"])
+        aabb = np.array([[-1.5] * 3, [1.5] * 3], np.float32)
+        nmf = build_nmf(jax.random.PRNGKey(0), cfg["model"]["arch"], aabb,
+                        (2.0, 6.0))
+        assert nmf.model is not None
+
+
 class TestDeadKnobs:
     """The three config knobs VERDICT r1 flagged as accepted-but-ignored,
     each driven through the CLI config surface."""
