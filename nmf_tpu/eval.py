@@ -31,6 +31,35 @@ EVAL_MAP_KEYS = ("rgb_map", "acc_map", "depth", "world_normal", "normal",
                  "tint", "spec", "diffuse", "roughness", "albedo",
                  "cross_section", "surf_width")
 
+# Host-side precompiled budget tiers for eval/render_only. The reference
+# adapts its bounce budgets at test time (test_rays_per_ray +
+# update_n_samples, microfacet.py:241-268); our budgets are compile-time
+# statics, so the TPU-native equivalent is a small set of named tiers —
+# switching tier swaps the static fields and costs one extra compile,
+# after which both signatures live in the jit cache.
+EVAL_TIERS = {"train": 1, "high": 2, "ultra": 4}
+
+
+def apply_eval_tier(nmf, tier):
+    """Scale the shading model's test-time MC budgets by the named tier.
+
+    Multiplies test_rays_per_ray (bounce rays per sample), brdf_ray_budget
+    (flat per-level bounce buffer), and max_retrace_rays (retrace buffer)
+    together so the extra rays actually fit. Models without these knobs
+    (plain TensoRF/RefNeRF shading) pass through unchanged.
+    """
+    mult = EVAL_TIERS[tier] if isinstance(tier, str) else int(tier)
+    if mult <= 1:
+        return nmf
+    model = nmf.model
+    if not hasattr(model, "brdf_ray_budget"):
+        return nmf
+    model = model.replace(
+        test_rays_per_ray=model.test_rays_per_ray * mult,
+        brdf_ray_budget=tuple(b * mult for b in model.brdf_ray_budget),
+        max_retrace_rays=tuple(r * mult for r in model.max_retrace_rays))
+    return nmf.replace(model=model)
+
 
 def render_rays_chunked(nmf: NMF, rays, key, chunk=4096, draw_debug=True,
                         keys=EVAL_MAP_KEYS, bg_col=(1.0, 1.0, 1.0),

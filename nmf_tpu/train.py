@@ -453,10 +453,12 @@ def reconstruction(cfg, log=print):
             gt_bg = imread_any(gt_bg_path)
         elif test_ds.get("gt_bg_im") is not None:
             gt_bg = test_ds["gt_bg_im"]  # procedural scenes carry their GT
-        res = eval_lib.evaluate(nmf, test_ds, ek,
-                                save_dir=str(logfolder / "imgs_test_all"),
-                                n_vis=cfg.get("N_vis", -1), gt_bg=gt_bg,
-                                mesh=mesh)
+        # the tier applies to the eval copy only; the saved checkpoint and
+        # any later training keep the train-time budgets
+        res = eval_lib.evaluate(
+            eval_lib.apply_eval_tier(nmf, cfg.get("eval_tier", "train")),
+            test_ds, ek, save_dir=str(logfolder / "imgs_test_all"),
+            n_vis=cfg.get("N_vis", -1), gt_bg=gt_bg, mesh=mesh)
         log(f"final test: {res}")
     if cfg.get("render_train", False):
         # evaluate on the training views (reference train.py:838-858)
@@ -483,6 +485,9 @@ def render_test(cfg, log=print):
     if cfg.get("fixed_bg"):
         bg, _, _ = ckpt_lib.load(cfg["fixed_bg"])
         nmf = nmf.replace(bg_module=bg)
+    # eval_tier=high|ultra scales the test-time MC budgets (the
+    # reference's test_rays_per_ray/update_n_samples analogue)
+    nmf = eval_lib.apply_eval_tier(nmf, cfg.get("eval_tier", "train"))
     datadir = cfg.get("datadir", "/data")
     test_ds = load_dataset(cfg["dataset"], datadir, split="test")
     expname = f"{cfg['dataset']['scenedir'].split('/')[-1]}_{cfg['expname']}"
