@@ -161,3 +161,77 @@ class TestEnvmapMetrics:
         m = calc_envmap_metrics(bg, gt_im, fH=h)
         assert m["envmap_psnr_top"] < 25
         assert m["envmap_smape_top"] > 0.1
+
+
+class TestEnvmapIdentifiabilityOracle:
+    """Fitting-capacity oracle for the full sa2mip+SAT query path
+    (VERDICT r2 next #4; runs/env_oracle.py + env_fit3.py findings).
+
+    Root cause of the flagship's low envmap_psnr_top (10.9 dB @200px):
+    NOT a query-path bug. The metric and orientation are clean (a perfect
+    map scores >110 dB through calc_envmap_metrics), and supervising the
+    map THROUGH the query path at mixed footprints with scale-consistent
+    targets recovers the raw texels to >20 dB in 800 steps. Under
+    single-scale (sharp-only) supervision the raw-map metric has a
+    deconvolution null space — exactly the training signal a shiny scene
+    provides (all mirror rays carry the same tiny footprint), so envmap
+    recovery quality is a property of the scene's roughness spectrum,
+    matching the reference's behavior on glossy-only scenes
+    (/root/reference/modules/integral_equirect.py:290-322 exists because
+    real NMF scenes carry mixed roughness)."""
+
+    def _setup(self, H=64):
+        from nmf_tpu.data.synthetic import _ShinyEnv
+        from nmf_tpu.eval import calc_envmap_metrics
+
+        key = jax.random.PRNGKey(0)
+        bg = init_integral_equirect(key, bg_resolution=H, activation="exp")
+        env = _ShinyEnv(H=H)
+        gt_pano = np.roll(env.map, env.W // 2, axis=1)[:, ::-1].copy()
+        perfect = bg.replace(bg_mat=jnp.asarray(np.log(np.clip(
+            np.transpose(env.map, (2, 0, 1)), 1e-6, None))))
+        return bg, perfect, gt_pano, calc_envmap_metrics
+
+    def test_metric_and_orientation_clean(self):
+        """A perfect map must score near-losslessly through the eval
+        metric (rules out flip/roll/convention bugs)."""
+        _, perfect, gt_pano, metrics = self._setup()
+        m = metrics(perfect, gt_pano, fH=64)
+        assert m["envmap_psnr_top"] > 60
+        assert m["envmap_ssim_top"] > 0.99
+
+    def test_query_path_recovers_map_under_mixed_footprints(self):
+        """Scale-consistent supervision through the FULL query path
+        (sa2mip -> SAT box-filter integral) must recover the raw texels:
+        proves the SAT/mip machinery is invertible and unbiased enough
+        to learn through."""
+        import optax
+
+        bg, perfect, gt_pano, metrics = self._setup()
+        cache_p = perfect.prepare(with_sh=False)
+        opt = optax.adam(0.05)
+        params = bg.bg_mat
+        opt_state = opt.init(params)
+
+        def step(p, s, d, sa):
+            tgt = jax.lax.stop_gradient(perfect(d, sa, cache=cache_p))
+
+            def lf(p):
+                b = bg.replace(bg_mat=p)
+                pred = b(d, sa, cache=b.prepare(with_sh=False))
+                return (jnp.clip(pred - tgt, -1, 1) ** 2).mean()
+
+            l, g = jax.value_and_grad(lf)(p)
+            up, s = opt.update(g, s)
+            return optax.apply_updates(p, up), s, l
+
+        step = jax.jit(step)
+        rng = np.random.default_rng(0)
+        for _ in range(800):
+            d = rng.normal(size=(4096, 3)).astype(np.float32)
+            d /= np.linalg.norm(d, axis=-1, keepdims=True)
+            sa = rng.uniform(-9.0, -2.0, size=(4096,)).astype(np.float32)
+            params, opt_state, _ = step(params, opt_state, jnp.asarray(d),
+                                        jnp.asarray(sa))
+        m = metrics(bg.replace(bg_mat=params), gt_pano, fH=64)
+        assert m["envmap_psnr_top"] > 20, m
