@@ -140,13 +140,21 @@ class Microfacet:
             else:
                 _, conv_coeffs = bg_module.get_spherical_harmonics(
                     100, cache=bg_cache)
-            conv_coeffs = jax.lax.stop_gradient(conv_coeffs)
             evaled = sh.eval_sh_bases(conv_coeffs.shape[0], normals)
-            # the irradiance is fully detached in the reference (torch.no_grad
-            # + .detach(), microfacet.py:305-316): no gradient flows into the
-            # normals through the SH basis evaluation
-            E = jax.lax.stop_gradient(
-                (conv_coeffs[None] * evaled[..., None]).sum(axis=1))
+            if getattr(bg_module, "sh_grad", False):
+                # opt-in extension (bg sh_grad=true): the envmap's SH
+                # coefficients receive diffuse-shading gradient (coarse-
+                # scale supervision); the normals path stays detached so
+                # geometry training is unchanged
+                E = (conv_coeffs[None]
+                     * jax.lax.stop_gradient(evaled)[..., None]).sum(axis=1)
+            else:
+                # the irradiance is fully detached in the reference
+                # (torch.no_grad + .detach(), microfacet.py:305-316): no
+                # gradient flows into the envmap or the normals
+                E = jax.lax.stop_gradient(
+                    (jax.lax.stop_gradient(conv_coeffs)[None]
+                     * evaled[..., None]).sum(axis=1))
             diffuse = albedo * E
         else:
             diffuse = albedo

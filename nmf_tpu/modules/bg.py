@@ -81,6 +81,14 @@ class IntegralEquirect:
     # Pallas bin-sum scatter for the SAT backward (collision-heavy:
     # concentrated reflections pile gradient rows onto few texels)
     scatter_kernel: bool = struct.field(pytree_node=False, default=False)
+    # Opt-in EXTENSION (not in the reference, which detaches the SH
+    # irradiance entirely: torch.no_grad + .detach at microfacet.py:305-316).
+    # With sh_grad=true the diffuse shading term backpropagates into the
+    # envmap's SH projection, giving the map a coarse-scale training signal.
+    # Closes the deconvolution null space on glossy-only scenes where every
+    # escape ray carries a sharp footprint (BASELINE.md envmap root-cause;
+    # tests/test_bg.py::TestEnvmapIdentifiabilityOracle).
+    sh_grad: bool = struct.field(pytree_node=False, default=False)
     lr: float = struct.field(pytree_node=False, default=0.02)
     mipbias_lr: float = struct.field(pytree_node=False, default=1e-4)
     brightness_lr: float = struct.field(pytree_node=False, default=0.0)
@@ -139,7 +147,8 @@ class IntegralEquirect:
         }
         if with_sh:
             _, conv = self.get_spherical_harmonics(100, cache=cache)
-            cache["sh_conv_coeffs"] = jax.lax.stop_gradient(conv)
+            cache["sh_conv_coeffs"] = (
+                conv if self.sh_grad else jax.lax.stop_gradient(conv))
         return cache
 
     def sa2mip(self, u, sa_sample):
@@ -227,7 +236,8 @@ def init_integral_equirect(key, bg_resolution=512, init_val=-0.6,
                            activation="exp", mipbias=1.0, mipnoise=0.0,
                            lr=0.02, mipbias_lr=1e-4, brightness_lr=0.0,
                            mul_lr=0.0, betas=(0.9, 0.99),
-                           mul_betas=(0.9, 0.9), scatter_kernel=False, **_):
+                           mul_betas=(0.9, 0.9), scatter_kernel=False,
+                           sh_grad=False, **_):
     data = init_val * jnp.ones((3, bg_resolution, 2 * bg_resolution))
     return IntegralEquirect(
         bg_mat=data,
@@ -237,4 +247,4 @@ def init_integral_equirect(key, bg_resolution=512, init_val=-0.6,
         activation=activation, mipnoise=mipnoise, lr=lr,
         mipbias_lr=mipbias_lr, brightness_lr=brightness_lr, mul_lr=mul_lr,
         betas=tuple(betas), mul_betas=tuple(mul_betas),
-        scatter_kernel=bool(scatter_kernel))
+        scatter_kernel=bool(scatter_kernel), sh_grad=bool(sh_grad))
