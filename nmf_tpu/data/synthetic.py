@@ -5,6 +5,9 @@ module provides small self-contained scenes (colored spheres on white
 background) rendered analytically, so end-to-end training can be exercised
 hermetically in CI (SURVEY.md section 4, oracle (e)).
 """
+import os
+from pathlib import Path
+
 import numpy as np
 
 from .ray_utils import get_ray_directions_blender, get_rays, pose_spherical
@@ -377,6 +380,19 @@ def _np_srgb(x):
                     12.92 * x)
 
 
+# Bump when any GT math above changes (spheres, env, shading, MC
+# correction, view layout): invalidates every cached dataset.
+_GT_VERSION = 3  # protocol v3 (interreflection MC correction)
+
+
+def _cache_dir():
+    d = os.environ.get("NMF_DATASET_CACHE")
+    if d == "":  # explicit opt-out
+        return None
+    return Path(d) if d else (Path(__file__).parents[2]
+                              / "runs" / ".dataset_cache")
+
+
 def make_shiny_dataset(n_views=24, H=128, W=128, radius=3.2, seed=0,
                        phi_deg=-25.0, split="train", env=None,
                        env_bg=False, hemisphere=False, interreflect=True,
@@ -397,7 +413,30 @@ def make_shiny_dataset(n_views=24, H=128, W=128, radius=3.2, seed=0,
     the one-bounce neighbor-reflection/occlusion MC correction so the GT
     is consistent with a physically based renderer (the blender scenes the
     reference trains on are path traced); costs ~1-2 min host time per
-    split at 400px."""
+    split at 400px.
+
+    Results are memoized to runs/.dataset_cache (override location with
+    NMF_DATASET_CACHE; set it empty to disable): the dataset is a pure
+    function of the arguments, and the MC GT at 400px costs tens of
+    single-core minutes that protocol-run retries would otherwise repay
+    on every resume. Only the default env is cacheable."""
+    cache = None
+    if env is None:
+        cdir = _cache_dir()
+        if cdir is not None:
+            key = (f"v{_GT_VERSION}_{scene}_{split}_n{n_views}_{H}x{W}"
+                   f"_r{radius}_s{seed}_p{phi_deg}_bg{int(env_bg)}"
+                   f"_h{int(hemisphere)}_gi{int(interreflect)}"
+                   f"x{n_gi_samples}")
+            cache = cdir / f"shiny_{key}.npz"
+            if cache.exists():
+                with np.load(cache) as z:
+                    ds = {k: z[k] for k in z.files}
+                ds["img_wh"] = tuple(int(v) for v in ds["img_wh"])
+                ds["focal"] = float(ds["focal"])
+                ds["near_far"] = tuple(float(v) for v in ds["near_far"])
+                ds["white_bg"] = bool(ds["white_bg"])
+                return ds
     env = env or _ShinyEnv()
     spheres = {"shiny": _SHINY_SPHERES,
                "cluster": _CLUSTER_SPHERES}[scene]
@@ -438,7 +477,7 @@ def make_shiny_dataset(n_views=24, H=128, W=128, radius=3.2, seed=0,
         all_rgbs.append(rgba)
         all_norms.append(norms)
         all_tints.append(tints)
-    return {
+    ds = {
         "all_rays": np.concatenate(all_rays, 0).astype(np.float32),
         "all_rgbs": np.concatenate(all_rgbs, 0).astype(np.float32),
         "all_norms": np.concatenate(all_norms, 0).astype(np.float32),
@@ -454,3 +493,12 @@ def make_shiny_dataset(n_views=24, H=128, W=128, radius=3.2, seed=0,
         # GT pano pre-inverse-transformed so it lands in bg_mat orientation
         "gt_bg_im": np.roll(env.map, env.W // 2, axis=1)[:, ::-1].copy(),
     }
+    if cache is not None:
+        cache.parent.mkdir(parents=True, exist_ok=True)
+        # atomic publish: concurrent retries may generate simultaneously.
+        # (open file object: savez would append .npz to a bare path)
+        tmp = cache.with_suffix(f".tmp{os.getpid()}")
+        with open(tmp, "wb") as f:
+            np.savez_compressed(f, **ds)
+        os.replace(tmp, cache)
+    return ds

@@ -132,3 +132,34 @@ class TestInterreflection:
         np.testing.assert_allclose(ds["all_rays"], ds2["all_rays"])
         np.testing.assert_allclose(ds["all_rgbs"][:, 3], ds2["all_rgbs"][:, 3])
         np.testing.assert_allclose(ds["all_norms"], ds2["all_norms"])
+
+
+class TestDatasetCache:
+    def test_roundtrip_and_key_separation(self, tmp_path, monkeypatch):
+        """The npz memo returns the exact dataset and distinct params miss."""
+        from nmf_tpu.data.synthetic import make_shiny_dataset
+
+        monkeypatch.setenv("NMF_DATASET_CACHE", str(tmp_path))
+        kw = dict(n_views=2, H=16, W=16, hemisphere=True, interreflect=True,
+                  n_gi_samples=4)
+        a = make_shiny_dataset(**kw)
+        files = list(tmp_path.glob("*.npz"))
+        assert len(files) == 1, files
+        b = make_shiny_dataset(**kw)  # cache hit
+        for k in ("all_rays", "all_rgbs", "all_norms", "all_tints",
+                  "poses", "scene_bbox", "gt_bg_im"):
+            np.testing.assert_array_equal(a[k], b[k])
+        assert a["img_wh"] == b["img_wh"] and a["near_far"] == b["near_far"]
+        assert a["white_bg"] == b["white_bg"]
+        assert isinstance(b["focal"], float)
+        # different split/params produce new entries, not collisions
+        make_shiny_dataset(split="test", **kw)
+        make_shiny_dataset(**{**kw, "n_gi_samples": 8})
+        assert len(list(tmp_path.glob("*.npz"))) == 3
+
+    def test_disabled_by_empty_env(self, tmp_path, monkeypatch):
+        from nmf_tpu.data.synthetic import make_shiny_dataset
+
+        monkeypatch.setenv("NMF_DATASET_CACHE", "")
+        make_shiny_dataset(n_views=1, H=8, W=8, interreflect=False)
+        assert not list(Path(str(tmp_path)).glob("*.npz"))
