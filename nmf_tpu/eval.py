@@ -40,6 +40,21 @@ EVAL_MAP_KEYS = ("rgb_map", "acc_map", "depth", "world_normal", "normal",
 EVAL_TIERS = {"train": 1, "high": 2, "ultra": 4}
 
 
+def validate_eval_tier(tier):
+    """Resolve a tier name/int to its multiplier, raising on typos.
+
+    Called at CLI startup (train.reconstruction / render_test) so a bad
+    eval_tier fails immediately instead of at the final eval after the
+    full training run.
+    """
+    if isinstance(tier, str):
+        if tier not in EVAL_TIERS:
+            raise ValueError(f"eval_tier must be one of "
+                             f"{sorted(EVAL_TIERS)} or an int, got {tier!r}")
+        return EVAL_TIERS[tier]
+    return int(tier)
+
+
 def apply_eval_tier(nmf, tier):
     """Scale the shading model's test-time MC budgets by the named tier.
 
@@ -48,7 +63,7 @@ def apply_eval_tier(nmf, tier):
     together so the extra rays actually fit. Models without these knobs
     (plain TensoRF/RefNeRF shading) pass through unchanged.
     """
-    mult = EVAL_TIERS[tier] if isinstance(tier, str) else int(tier)
+    mult = validate_eval_tier(tier)
     if mult <= 1:
         return nmf
     model = nmf.model

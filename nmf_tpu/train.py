@@ -123,6 +123,9 @@ def make_loss_weights(params, iteration=0, ori_mult=1.0, pred_mult=1.0,
 
 def reconstruction(cfg, log=print):
     params = cfg["model"]["params"]
+    # a typo'd eval_tier must fail NOW, not at the final eval after the
+    # full training run
+    eval_lib.validate_eval_tier(cfg.get("eval_tier", "train"))
     datadir = cfg.get("datadir", "/data")
     expname = f"{cfg['dataset']['scenedir'].split('/')[-1]}_{cfg['expname']}"
     if cfg.get("add_timestamp"):

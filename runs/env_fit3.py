@@ -56,11 +56,6 @@ def fit(sa_lo, sa_hi, tv_w=0.0, H=64, steps=3000, batch=8192, lr=0.05,
     return m
 
 
-if __name__ == "__main__":
-    fit(-9.0, -2.0)           # mixed, consistent
-    fit(-9.0, -9.0)           # sharp-only, consistent
-    fit(-9.0, -9.0, tv_w=1.0)  # sharp-only + TV on raw map
-
 def fit_mipnoise(noise, H=64, steps=3000, batch=8192, lr=0.05, seed=0):
     key = jax.random.PRNGKey(seed)
     bg = init_integral_equirect(key, bg_resolution=H, activation="exp",
@@ -98,3 +93,10 @@ def fit_mipnoise(noise, H=64, steps=3000, batch=8192, lr=0.05, seed=0):
     bg = bg.replace(bg_mat=params)
     m = calc_envmap_metrics(bg, gt_pano, fH=H)
     print(f"[mipnoise={noise} sharp-only] map metric: {m}")
+
+
+if __name__ == "__main__":
+    fit(-9.0, -2.0)            # mixed, consistent
+    fit(-9.0, -9.0)            # sharp-only, consistent
+    fit(-9.0, -9.0, tv_w=1.0)  # sharp-only + TV on raw map
+    fit_mipnoise(0.5)          # sharp-only + mip-jitter (BASELINE.md claim)

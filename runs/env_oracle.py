@@ -30,31 +30,8 @@ def fit(sa_mode="sharp", H=64, steps=1500, batch=8192, lr=0.05, seed=0):
     params = bg.bg_mat
     opt_state = opt.init(params)
 
-    def sample_batch(k):
-        k1, k2 = jax.random.split(k)
-        d = jax.random.normal(k1, (batch, 3))
-        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-        if sa_mode == "sharp":
-            sa = jnp.full((batch,), -9.0)
-        else:  # mixed: training-like spread of footprints
-            sa = jax.random.uniform(k2, (batch,), minval=-9.0, maxval=-2.0)
-        return d, sa
-
-    def loss_fn(p, d, sa):
-        b = bg.replace(bg_mat=p)
-        pred = b(d, sa, cache=b.prepare(with_sh=False))
-        tgt = jnp.asarray(shiny_env_fn(np.asarray(d)))
-        rel = (pred - tgt) / (jax.lax.stop_gradient(pred) + tgt + 1e-2)
-        return (rel ** 2).mean()
-
-    @jax.jit
-    def step(p, s, d, sa):
-        l, g = jax.value_and_grad(loss_fn)(p, d, sa)
-        up, s = opt.update(g, s)
-        return optax.apply_updates(p, up), s, l
-
-    # pregenerate host-side targets: loss_fn above calls numpy inside jit
-    # which won't trace — instead precompute dirs/targets outside.
+    # targets are precomputed host-side per batch (the analytic env is
+    # numpy, so it cannot be called under jit)
     def step2(p, s, d, sa, tgt):
         def lf(p):
             b = bg.replace(bg_mat=p)

@@ -1,80 +1,24 @@
 #!/bin/bash
-# Round-3 queue, v2 ordering. Same artifact-verified stages as
-# tpu_queue_r3.sh (source runs/verify_run.sh) but with the perf A/Bs and
-# bench promoted to run right after the two HEADLINE protocol rows
-# (flagship_fixed400 + tensorf_hemi400): the original order put all five
-# 30k runs (~11 h) before the ~30-min A/Bs, so the VERDICT r2 #5
-# measurement would never land inside a session. The cluster GI pair and
-# the noupsample variant run after the A/Bs; every stage is idempotent
-# (verify_run-skipped when already complete) so restarts are free.
+# Round-3 TPU queue, v2 ordering (supersedes tpu_queue_r3.sh + _r3b.sh,
+# whose stages it contains). Artifact-verified stages via runs/queue_lib.sh;
+# the perf A/Bs and bench run right after the two HEADLINE protocol rows
+# (flagship_fixed400 + tensorf_hemi400) so the VERDICT r2 #5 measurement
+# lands inside a session instead of behind ~11 h of protocol runs. Every
+# stage is idempotent (verify_run-skipped when complete) so restarts are
+# free.
 #
 # Takes an optional PID as $1: an already-running flagship attempt to
 # wait on before stage 1 (used when the queue is restarted around a live
 # training process).
 cd /root/repo
-Q=runs/tpu_queue.log
-source runs/verify_run.sh
+QPREFIX=qv2
+source runs/queue_lib.sh
 
 if [ -n "$1" ]; then
   echo "qv2: waiting on live pid $1 $(date)" >> "$Q"
   while kill -0 "$1" 2>/dev/null; do sleep 60; done
   echo "qv2: pid $1 exited $(date)" >> "$Q"
 fi
-
-probe() {
-  timeout 240 python - <<'EOF' >/dev/null 2>&1
-import jax
-d = jax.devices()
-assert d and d[0].platform != "cpu", d
-import jax.numpy as jnp
-assert float(jnp.ones(8).sum()) == 8.0
-EOF
-}
-
-ensure() {
-  until probe; do
-    echo "qv2: tunnel down $(date)" >> "$Q"
-    sleep 120
-  done
-  echo "qv2: tunnel live $(date)" >> "$Q"
-}
-
-# run_stage <name> <rundir> <min_lines> <max_attempts> <cmd...>
-run_stage() {
-  name=$1; dir=$2; lines=$3; max=$4; shift 4
-  if verify_run "$dir" "$lines"; then
-    echo "qv2: skip $name (artifacts complete) $(date)" >> "$Q"
-    return 0
-  fi
-  for a in $(seq 1 "$max"); do
-    ensure
-    echo "qv2: start $name attempt $a $(date)" >> "$Q"
-    "$@"
-    rc=$?
-    if verify_run "$dir" "$lines"; then
-      echo "qv2: VERIFIED $name attempt $a rc=$rc $(date)" >> "$Q"
-      return 0
-    fi
-    echo "qv2: end $name attempt $a rc=$rc ARTIFACTS-INCOMPLETE $(date)" >> "$Q"
-    sleep 60
-  done
-  echo "qv2: FAILED $name after $max attempts $(date)" >> "$Q"
-  return 1
-}
-
-plain_stage() {
-  name=$1; max=$2; shift 2
-  for a in $(seq 1 "$max"); do
-    ensure
-    echo "qv2: start $name attempt $a $(date)" >> "$Q"
-    "$@"
-    rc=$?
-    echo "qv2: end $name attempt $a rc=$rc $(date)" >> "$Q"
-    [ "$rc" -eq 0 ] && return 0
-    sleep 60
-  done
-  return 1
-}
 
 # --- headline rows -------------------------------------------------------
 run_stage flagship_fixed400 runs/synthetic_shiny_flagship_fixed400 55 10 \
@@ -93,7 +37,9 @@ plain_stage bench 2 bash -c \
   'timeout 5400 python bench.py >> runs/bench_r03.log 2>&1'
 
 # --- eval-tier A/B on the flagship ckpt (VERDICT r2 #8 done-criterion) ---
-CKPT=runs/synthetic_shiny_flagship_fixed400/flagship_fixed400.th
+# train.py names the final checkpoint {scenedir}_{expname}.th inside the
+# run dir (train.py:127,437).
+CKPT=runs/synthetic_shiny_flagship_fixed400/synthetic_shiny_flagship_fixed400.th
 tier_eval() {  # tier_eval <tier> <expname>
   timeout 5400 python train.py render_only=True "ckpt=$CKPT" \
     "eval_tier=$1" dataset=synthetic_shiny dataset.hemisphere=true \
@@ -120,7 +66,7 @@ if [ -f "$CKPT" ]; then
     fi
   done
 else
-  echo "qv2: no flagship ckpt; skipping tier_ab $(date)" >> "$Q"
+  echo "qv2: no flagship ckpt at $CKPT; skipping tier_ab $(date)" >> "$Q"
 fi
 
 # --- cluster GI pair (VERDICT r2 #9) + noupsample variant ----------------

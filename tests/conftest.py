@@ -12,8 +12,9 @@ runtime and must run before any JAX computation.
 import os
 
 # Tests build many tiny procedural datasets; don't let them populate (or
-# read) the protocol runs' dataset memo (data/synthetic.py cache).
-os.environ.setdefault("NMF_DATASET_CACHE", "")
+# read) the protocol runs' dataset memo (data/synthetic.py cache) -- even
+# when the ambient environment exports a cache dir for protocol runs.
+os.environ["NMF_DATASET_CACHE"] = ""
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:

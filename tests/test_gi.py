@@ -157,9 +157,15 @@ class TestDatasetCache:
         make_shiny_dataset(**{**kw, "n_gi_samples": 8})
         assert len(list(tmp_path.glob("*.npz"))) == 3
 
-    def test_disabled_by_empty_env(self, tmp_path, monkeypatch):
-        from nmf_tpu.data.synthetic import make_shiny_dataset
+    def test_disabled_by_empty_env(self, monkeypatch):
+        from nmf_tpu.data import synthetic
 
         monkeypatch.setenv("NMF_DATASET_CACHE", "")
-        make_shiny_dataset(n_views=1, H=8, W=8, interreflect=False)
-        assert not list(Path(str(tmp_path)).glob("*.npz"))
+        # the opt-out must short-circuit cache-dir resolution entirely
+        assert synthetic._cache_dir() is None
+        default_dir = (Path(synthetic.__file__).parents[2]
+                       / "runs" / ".dataset_cache")
+        before = set(default_dir.glob("*.npz")) if default_dir.exists() else set()
+        synthetic.make_shiny_dataset(n_views=1, H=8, W=8, interreflect=False)
+        after = set(default_dir.glob("*.npz")) if default_dir.exists() else set()
+        assert after == before  # nothing written to the default location
