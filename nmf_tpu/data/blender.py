@@ -224,7 +224,8 @@ def load_dataset(cfg_dataset, datadir, split="train", n_vis=-1):
         phi = -30.0 if split == "train" else -25.0
         ds = make_sphere_dataset(n_views=n_views, H=size, W=size, seed=seed,
                                  phi_deg=phi)
-    elif name in ("synthetic_shiny", "synthetic_cluster"):
+    elif name in ("synthetic_shiny", "synthetic_cluster",
+                  "synthetic_studio"):
         from .synthetic import make_shiny_dataset
 
         n_views = cfg_dataset.get("n_views", 24)

@@ -107,6 +107,30 @@ _CLUSTER_SPHERES = [
 ]
 
 
+# Third protocol scene: a WELL-POSED inverse-rendering arrangement. The
+# shiny/cluster scenes are intentionally brutal (dark near-pure-specular
+# spheres: geometry is unanchored by diffuse multiview consistency and the
+# envmap is under-determined -- the identifiability oracle's null space,
+# BASELINE.md). Studio adds what real capture scenes have: bright diffuse
+# anchors (rough 0.9+, albedo 0.7) that pin geometry and the envmap's
+# coarse scales, a mid-roughness glossy pair filling the footprint
+# spectrum, and ONE near-mirror ball exercising the retrace/envmap path.
+# On this scene the NMF decomposition is identifiable, so it carries the
+# framework's quality-parity headline.
+_STUDIO_SPHERES = [
+    (np.array([0.0, -0.15, 0.3]), 0.48, np.array([0.03, 0.03, 0.03]),
+     np.array([0.95, 0.93, 0.88]), 0.04),   # silver near-mirror (the test)
+    (np.array([-0.85, -0.45, -0.25]), 0.38, np.array([0.5, 0.09, 0.06]),
+     np.array([0.03, 0.03, 0.03]), 0.9),    # bright red diffuse anchor
+    (np.array([0.85, -0.45, -0.25]), 0.38, np.array([0.45, 0.44, 0.4]),
+     np.array([0.03, 0.03, 0.03]), 0.95),   # bright neutral diffuse anchor
+    (np.array([-0.15, 0.85, -0.3]), 0.34, np.array([0.15, 0.08, 0.02]),
+     np.array([1.0, 0.71, 0.29]), 0.2),     # gold glossy (mid roughness)
+    (np.array([0.55, 0.55, -0.42]), 0.3, np.array([0.08, 0.25, 0.5]),
+     np.array([0.04, 0.04, 0.04]), 0.45),   # blue semi-rough
+]
+
+
 def shiny_env_fn(dirs):
     """Analytic HDR environment (returns linear radiance, (N, 3))."""
     d = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
@@ -439,7 +463,8 @@ def make_shiny_dataset(n_views=24, H=128, W=128, radius=3.2, seed=0,
                 return ds
     env = env or _ShinyEnv()
     spheres = {"shiny": _SHINY_SPHERES,
-               "cluster": _CLUSTER_SPHERES}[scene]
+               "cluster": _CLUSTER_SPHERES,
+               "studio": _STUDIO_SPHERES}[scene]
     gi_rng = np.random.default_rng(
         seed + (7 if split == "train" else 117) + 1000)
     focal = 0.5 * W / np.tan(0.5 * np.deg2rad(55.0))

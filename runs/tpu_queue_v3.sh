@@ -1,5 +1,5 @@
 #!/bin/bash
-# Round-3 TPU queue, v2 ordering (supersedes tpu_queue_r3.sh + _r3b.sh,
+# Round-3 TPU queue, v3 ordering (supersedes tpu_queue_r3.sh + _r3b.sh,
 # whose stages it contains). Artifact-verified stages via runs/queue_lib.sh;
 # the perf A/Bs and bench run right after the two HEADLINE protocol rows
 # (flagship_fixed400 + tensorf_hemi400) so the VERDICT r2 #5 measurement
@@ -68,6 +68,13 @@ if [ -f "$CKPT" ]; then
 else
   echo "qv2: no flagship ckpt at $CKPT; skipping tier_ab $(date)" >> "$Q"
 fi
+
+# --- studio quality-headline pair (well-posed scene; see
+# configs/dataset/synthetic_studio.yaml) --------------------------------
+run_stage flagship_studio400 runs/synthetic_studio_flagship_studio400 55 10 \
+  bash runs/run_flagship_studio400.sh
+run_stage tensorf_studio400 runs/synthetic_studio_tensorf_studio400 55 8 \
+  bash runs/run_tensorf_studio400.sh
 
 # --- cluster GI pair (VERDICT r2 #9) + noupsample variant ----------------
 run_stage flagship_cluster400 runs/synthetic_cluster_flagship_cluster400 55 10 \
