@@ -458,10 +458,16 @@ def reconstruction(cfg, log=print):
             gt_bg = test_ds["gt_bg_im"]  # procedural scenes carry their GT
         # the tier applies to the eval copy only; the saved checkpoint and
         # any later training keep the train-time budgets
+        # final_N_vis decouples the FINAL eval's view count from the
+        # mid-train vis_every evals (N_vis): protocol rows want cheap
+        # trajectory probes but a full-test-set headline mean.txt
+        final_n = cfg.get("final_N_vis", None)
+        if final_n is None:
+            final_n = cfg.get("N_vis", -1)
         res = eval_lib.evaluate(
             eval_lib.apply_eval_tier(nmf, cfg.get("eval_tier", "train")),
             test_ds, ek, save_dir=str(logfolder / "imgs_test_all"),
-            n_vis=cfg.get("N_vis", -1), gt_bg=gt_bg, mesh=mesh)
+            n_vis=final_n, gt_bg=gt_bg, mesh=mesh)
         log(f"final test: {res}")
     if cfg.get("render_train", False):
         # evaluate on the training views (reference train.py:838-858)

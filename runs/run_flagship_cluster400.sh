@@ -10,7 +10,7 @@ timeout 21600 python train.py model=microfacet_tensorf2 dataset=synthetic_cluste
   model.params.max_batch_size=4096 \
   field.fixed_shape=True \
   save_every=2500 resume=True \
-  vis_every=10000 N_vis=2 basedir=runs expname=flagship_cluster400 \
+  vis_every=10000 N_vis=2 final_N_vis=-1 basedir=runs expname=flagship_cluster400 \
   progress_refresh_rate=512 render_test=True \
   >> /root/repo/runs/flagship_cluster400.log 2>&1
 rc=$?

@@ -12,7 +12,7 @@ timeout 21600 python train.py model=microfacet_tensorf2 dataset=synthetic_cluste
   field.fixed_shape=True \
   'model.arch.model.max_retrace_rays=[]' \
   save_every=2500 resume=True \
-  vis_every=10000 N_vis=2 basedir=runs expname=cluster400_noretrace \
+  vis_every=10000 N_vis=2 final_N_vis=-1 basedir=runs expname=cluster400_noretrace \
   progress_refresh_rate=512 render_test=True \
   >> /root/repo/runs/cluster400_noretrace.log 2>&1
 rc=$?

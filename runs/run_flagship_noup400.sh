@@ -16,7 +16,7 @@ timeout 21600 python train.py model=microfacet_tensorf2 dataset=synthetic_shiny 
   field.N_voxel_init=27000000 field.N_voxel_final=27000000 \
   'field.upsamp_list=[]' \
   save_every=2500 resume=True \
-  vis_every=10000 N_vis=2 basedir=runs expname=flagship_noup400 \
+  vis_every=10000 N_vis=2 final_N_vis=-1 basedir=runs expname=flagship_noup400 \
   progress_refresh_rate=512 render_test=True \
   >> /root/repo/runs/flagship_noup400.log 2>&1
 rc=$?

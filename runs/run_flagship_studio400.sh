@@ -11,7 +11,7 @@ timeout 21600 python train.py model=microfacet_tensorf2 dataset=synthetic_studio
   model.params.max_batch_size=4096 \
   field.fixed_shape=True \
   save_every=2500 resume=True \
-  vis_every=5000 N_vis=2 basedir=runs expname=flagship_studio400 \
+  vis_every=5000 N_vis=2 final_N_vis=-1 basedir=runs expname=flagship_studio400 \
   progress_refresh_rate=512 render_test=True \
   >> /root/repo/runs/flagship_studio400.log 2>&1
 rc=$?

@@ -7,7 +7,7 @@ timeout 21600 python train.py model=tensorf dataset=synthetic_studio \
   seed=20211200 \
   model.params.max_batch_size=4096 \
   save_every=2000 resume=True \
-  vis_every=0 N_vis=10 basedir=runs expname=tensorf_studio400 \
+  vis_every=0 N_vis=-1 basedir=runs expname=tensorf_studio400 \
   progress_refresh_rate=500 render_test=True \
   >> /root/repo/runs/tensorf_studio400.log 2>&1
 rc=$?

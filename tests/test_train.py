@@ -979,3 +979,26 @@ class TestDatasetConfigSurface:
                                                                sub_names)
                 continue
             assert dcfg.get("dataset_name") in registry, name
+
+
+def test_final_n_vis_decoupled(tmp_path):
+    """final_N_vis covers the full test set while N_vis keeps mid-train
+    probes cheap (protocol headline mean.txt must not be a 2-view mean)."""
+    import yaml
+
+    from nmf_tpu import config as config_lib
+    from nmf_tpu.train import reconstruction
+
+    cfg = config_lib.compose([
+        "model=tensorf", "dataset=synthetic_shiny",
+        "dataset.image_size=24", "dataset.n_views=3",
+        "model.params.n_iters=4", "model.params.batch_size=256",
+        "field.N_voxel_init=4096", "field.N_voxel_final=4096",
+        "field.upsamp_list=[]", "model.arch.sampler.update_list=[]",
+        "model.arch.max_samples_per_ray=32", "vis_every=0", "N_vis=1",
+        "final_N_vis=-1", f"basedir={tmp_path}", "expname=fnv",
+        "render_test=True"])
+    reconstruction(cfg, log=lambda *a, **k: None)
+    st = yaml.safe_load(open(
+        tmp_path / "synthetic_shiny_fnv" / "imgs_test_all" / "stats.yaml"))
+    assert len(st["psnr"]) == 3
