@@ -1,0 +1,187 @@
+#!/bin/bash
+# Round-3 TPU queue, v6 (supersedes v5; stages idempotent via verify_run
+# so the swap is free). Changes vs v5:
+#   - bench promoted BEFORE the long studio run so BENCH_r03 measures an
+#     idle chip this round (the driver's end-of-round bench must not
+#     contend with a mid-flight 3h training run);
+#   - studio flagship starts right after bench: whatever fraction runs
+#     before the round ends is carried by save_every/resume into round 4;
+#   - STOP-file drain: runs/QUEUE_STOP stops the queue between attempts,
+#     and every stage command runs in its own process group whose pgid is
+#     recorded in /tmp/qv6_stage.pid so runs/drain_queue.sh can cleanly
+#     kill the in-flight stage before the round-end bench window.
+# Takes an optional live-run PID to wait on as $1.
+cd /root/repo
+QPREFIX=qv6
+Q=runs/tpu_queue.log
+STOPF=runs/QUEUE_STOP
+source runs/verify_run.sh
+echo $$ > /tmp/qv6.pid
+
+check_stop() {
+  if [ -f "$STOPF" ]; then
+    echo "$QPREFIX: STOP file present, exiting $(date)" >> "$Q"
+    exit 0
+  fi
+}
+
+probe() {
+  timeout 240 python - <<'EOF' >/dev/null 2>&1
+import jax
+d = jax.devices()
+assert d and d[0].platform != "cpu", d
+import jax.numpy as jnp
+assert float(jnp.ones(8).sum()) == 8.0
+EOF
+}
+
+ensure() {
+  until probe; do
+    check_stop
+    echo "$QPREFIX: tunnel down $(date)" >> "$Q"
+    sleep 120
+  done
+  echo "$QPREFIX: tunnel live $(date)" >> "$Q"
+}
+
+run_pg() {  # run "$@" in its own process group; record pgid for drain
+  # bash -c indirection so exported shell functions (arm8k, tier_eval)
+  # resolve inside the new session
+  setsid bash -c '"$@"' runpg "$@" &
+  echo $! > /tmp/qv6_stage.pid
+  wait $!
+  local rc=$?
+  rm -f /tmp/qv6_stage.pid
+  return $rc
+}
+
+# run_stage <name> <rundir> <min_metrics_lines> <max_attempts> <cmd...>
+run_stage() {
+  local name=$1 dir=$2 lines=$3 max=$4; shift 4
+  if verify_run "$dir" "$lines"; then
+    echo "$QPREFIX: skip $name (artifacts complete) $(date)" >> "$Q"
+    return 0
+  fi
+  local a rc
+  for a in $(seq 1 "$max"); do
+    check_stop
+    ensure
+    echo "$QPREFIX: start $name attempt $a $(date)" >> "$Q"
+    run_pg "$@"
+    rc=$?
+    if verify_run "$dir" "$lines"; then
+      echo "$QPREFIX: VERIFIED $name attempt $a rc=$rc $(date)" >> "$Q"
+      return 0
+    fi
+    echo "$QPREFIX: end $name attempt $a rc=$rc ARTIFACTS-INCOMPLETE $(date)" >> "$Q"
+    sleep 60
+  done
+  echo "$QPREFIX: FAILED $name after $max attempts $(date)" >> "$Q"
+  return 1
+}
+
+plain_stage() {  # gates on exit code (A/Bs write their own JSON)
+  local name=$1 max=$2; shift 2
+  local a rc
+  for a in $(seq 1 "$max"); do
+    check_stop
+    ensure
+    echo "$QPREFIX: start $name attempt $a $(date)" >> "$Q"
+    run_pg "$@"
+    rc=$?
+    echo "$QPREFIX: end $name attempt $a rc=$rc $(date)" >> "$Q"
+    [ "$rc" -eq 0 ] && return 0
+    sleep 60
+  done
+  return 1
+}
+
+if [ -n "$1" ]; then
+  echo "qv6: waiting on live pid $1 $(date)" >> "$Q"
+  while kill -0 "$1" 2>/dev/null; do sleep 60; done
+  echo "qv6: pid $1 exited $(date)" >> "$Q"
+fi
+
+export CKPT=runs/synthetic_shiny_flagship_fixed400/synthetic_shiny_flagship_fixed400.th
+tier_eval() {  # tier_eval <tier> <expname>
+  timeout 7200 python train.py render_only=True "ckpt=$CKPT" \
+    "eval_tier=$1" dataset=synthetic_shiny dataset.hemisphere=true \
+    dataset.n_views=100 dataset.image_size=400 seed=20211200 \
+    N_vis=-1 basedir=runs "expname=$2" \
+    >> "runs/tier_ab.log" 2>&1
+}
+tier_stage() {  # tier_stage <tier> <expname>
+  local d="runs/synthetic_shiny_$2/imgs_render"
+  if [ ! -f "$CKPT" ]; then
+    echo "$QPREFIX: no flagship ckpt at $CKPT; skip tier_$1 $(date)" >> "$Q"
+    return 0
+  fi
+  if [ -s "$d/mean.txt" ]; then
+    echo "$QPREFIX: skip tier_$1 (done) $(date)" >> "$Q"
+    return 0
+  fi
+  check_stop
+  ensure
+  echo "$QPREFIX: start tier_$1 $(date)" >> "$Q"
+  run_pg tier_eval "$1" "$2"
+  local rc=$?
+  if [ -s "$d/mean.txt" ]; then
+    echo "$QPREFIX: VERIFIED tier_$1 rc=$rc $(date)" >> "$Q"
+  else
+    echo "$QPREFIX: tier_$1 rc=$rc ARTIFACTS-INCOMPLETE $(date)" >> "$Q"
+  fi
+}
+export -f tier_eval  # run_pg's setsid bash -c needs these exported
+
+# --- must-land this round ---------------------------------------------------
+run_stage tensorf_hemi400 runs/synthetic_shiny_tensorf_hemi400 55 8 \
+  bash runs/run_tensorf_hemi400.sh
+plain_stage binsum_ab 2 bash -c \
+  'timeout 3600 python runs/run_binsum_ab.py >> runs/binsum_ab.log 2>&1'
+tier_stage train tier_train400   # full-test-set headline eval of the flagship
+plain_stage bench 2 bash -c \
+  'timeout 5400 python bench.py >> runs/bench_r03.log 2>&1'
+
+# --- long studio headline run (resume-safe across the round boundary) -------
+run_stage flagship_studio400 runs/synthetic_studio_flagship_studio400 55 10 \
+  bash runs/run_flagship_studio400.sh
+tier_stage high tier_high400     # VERDICT r2 #8: bigger test-time MC budgets
+
+# --- perf A/Bs ---------------------------------------------------------------
+plain_stage layout_ab 2 bash -c \
+  'timeout 7200 python runs/run_layout_ab.py >> runs/layout_ab.log 2>&1'
+plain_stage mlp_ab 2 bash -c \
+  'timeout 7200 python runs/run_mlp_ab.py >> runs/mlp_ab.log 2>&1'
+
+# --- remaining protocol rows -------------------------------------------------
+run_stage tensorf_studio400 runs/synthetic_studio_tensorf_studio400 55 8 \
+  bash runs/run_tensorf_studio400.sh
+run_stage flagship_cluster400 runs/synthetic_cluster_flagship_cluster400 55 10 \
+  bash runs/run_flagship_cluster400.sh
+run_stage cluster400_noretrace runs/synthetic_cluster_cluster400_noretrace 55 10 \
+  bash runs/run_flagship_cluster400_noretrace.sh
+
+# --- 8k diagnostic arms (200px, full-set finals) ----------------------------
+arm8k() {  # arm8k <expname> <extra overrides...>
+  local exp=$1; shift
+  timeout 10800 python train.py model=microfacet_tensorf2 \
+    dataset=synthetic_shiny dataset.hemisphere=true dataset.n_views=100 \
+    dataset.image_size=200 seed=20211200 \
+    model.params.max_batch_size=4096 model.params.n_iters=8000 \
+    save_every=2500 resume=True \
+    vis_every=0 N_vis=2 final_N_vis=-1 basedir=runs "expname=$exp" \
+    progress_refresh_rate=512 render_test=True "$@" \
+    >> runs/arm8k.log 2>&1
+}
+export -f arm8k
+run_stage shgrad8k_on runs/synthetic_shiny_shgrad8k_on 10 4 \
+  arm8k shgrad8k_on model.arch.bg_module.sh_grad=True
+run_stage shgrad8k_off runs/synthetic_shiny_shgrad8k_off 10 4 \
+  arm8k shgrad8k_off model.arch.bg_module.sh_grad=False
+run_stage normoracle8k runs/synthetic_shiny_normoracle8k 10 4 \
+  arm8k normoracle8k model.params.normal_err_lambda=0.02
+
+run_stage flagship_noup400 runs/synthetic_shiny_flagship_noup400 55 10 \
+  bash runs/run_flagship_noup400.sh
+
+echo "QV6 DONE $(date)" >> "$Q"
