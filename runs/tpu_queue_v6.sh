@@ -139,8 +139,8 @@ run_stage tensorf_hemi400 runs/synthetic_shiny_tensorf_hemi400 55 8 \
 plain_stage binsum_ab 2 bash -c \
   'timeout 3600 python runs/run_binsum_ab.py >> runs/binsum_ab.log 2>&1'
 tier_stage train tier_train400   # full-test-set headline eval of the flagship
-plain_stage bench 2 bash -c \
-  'timeout 5400 python bench.py >> runs/bench_r03.log 2>&1'
+# (no queue bench stage: the driver benches the drained chip at round end;
+# binsum_ab already times the flagship step both ways for the flip decision)
 
 # --- long studio headline run (resume-safe across the round boundary) -------
 run_stage flagship_studio400 runs/synthetic_studio_flagship_studio400 55 10 \
