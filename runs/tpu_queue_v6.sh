@@ -138,6 +138,12 @@ run_stage tensorf_hemi400 runs/synthetic_shiny_tensorf_hemi400 55 8 \
   bash runs/run_tensorf_hemi400.sh
 plain_stage binsum_ab 2 bash -c \
   'timeout 3600 python runs/run_binsum_ab.py >> runs/binsum_ab.log 2>&1'
+# fresh attribution with the scatter kernels ON (warm cache from the A/B):
+# this drives the next kernel decision whatever the A/B verdict is
+plain_stage trace_r3 1 bash -c \
+  'timeout 2400 python runs/run_trace.py field.scatter_kernel=true \
+     model.arch.bg_module.scatter_kernel=true \
+     model.arch.model.scatter_kernel=true >> runs/trace_r3.log 2>&1'
 tier_stage train tier_train400   # full-test-set headline eval of the flagship
 # (no queue bench stage: the driver benches the drained chip at round end;
 # binsum_ab already times the flagship step both ways for the flip decision)
