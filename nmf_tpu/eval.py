@@ -78,10 +78,29 @@ def apply_eval_tier(nmf, tier):
 
 def render_rays_chunked(nmf: NMF, rays, key, chunk=4096, draw_debug=True,
                         keys=EVAL_MAP_KEYS, bg_col=(1.0, 1.0, 1.0),
-                        render_fn=None):
-    """Render (N, 6) rays in fixed-size chunks (padding the tail chunk)."""
+                        render_fn=None, interleave=True):
+    """Render (N, 6) rays in fixed-size chunks (padding the tail chunk).
+
+    ``interleave`` assigns ray i to chunk i % n_chunks instead of taking
+    scanline-contiguous chunks. The shading models' MC budgets
+    (brdf_ray_budget / max_retrace_rays) are static per chunk and sized
+    for the *average* demand of a randomly drawn train batch; a scanline
+    chunk crossing a specular object is ~100% hot rays and overflows the
+    budget, starving each chunk's tail rays of their bounce allocation
+    (visible as black stripes of period chunk/W). Interleaving gives every
+    chunk the image-average ray mix, so overflow requires the global mean
+    demand to exceed the budget — the same condition training operates
+    under. (The reference instead re-batches adaptively at test time,
+    microfacet.py:241-268 update_n_samples; interleaving is the
+    static-shape equivalent.) Outputs are returned in the original order.
+    """
     N = rays.shape[0]
     n_chunks = (N + chunk - 1) // chunk
+    if interleave and n_chunks > 1:
+        order = np.argsort(np.arange(N) % n_chunks, kind="stable")
+        inv = np.empty(N, np.int64)
+        inv[order] = np.arange(N)
+        rays = np.asarray(rays)[order]
     pad = n_chunks * chunk - N
     rays_p = np.concatenate([rays, rays[:1].repeat(pad, 0)], 0) if pad else rays
     outs = {}
@@ -100,6 +119,8 @@ def render_rays_chunked(nmf: NMF, rays, key, chunk=4096, draw_debug=True,
             if k in ims:
                 outs.setdefault(k, []).append(np.asarray(ims[k]))
     out = {k: np.concatenate(v, 0)[:N] for k, v in outs.items()}
+    if interleave and n_chunks > 1:
+        out = {k: v[inv] for k, v in out.items()}
     return out
 
 

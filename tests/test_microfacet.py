@@ -115,6 +115,85 @@ class TestRayLogger:
         assert lg.entries == []
 
 
+class TestBudgetStarvation:
+    """When a chunk's bounce-ray demand exceeds brdf_ray_budget, the
+    allocation truncates: samples with starts >= budget get zero slots.
+    Fresnel mixing folds the diffuse term into the per-bounce-ray comb, so
+    a starved sample used to composite to exact BLACK — the mechanism
+    behind the period-(chunk/W) stripes in scanline eval renders of the
+    400px flagship. Starved samples must fall back to their sample-level
+    diffuse lobe instead."""
+
+    def _shade(self, budget, M=64, rays_per_ray=128):
+        from nmf_tpu.models.microfacet import init_microfacet
+        from nmf_tpu.ops.safemath import normalize
+
+        key = jax.random.PRNGKey(0)
+        model = init_microfacet(key, app_dim=16,
+                                rays_per_ray=rays_per_ray,
+                                test_rays_per_ray=rays_per_ray,
+                                brdf_ray_budget=(budget,),
+                                max_retrace_rays=(),  # skip retrace branch
+                                anoise=0.0)
+        ks = jax.random.split(key, 5)
+        xyz = jax.random.uniform(ks[0], (M, 4), minval=-1, maxval=1)
+        feat = jax.random.normal(ks[1], (M, 16)) * 0.1
+        viewdirs = normalize(jax.random.normal(ks[2], (M, 3)))
+        normals = normalize(jax.random.normal(ks[3], (M, 3)))
+        weights = jnp.ones((M,))
+        valid = jnp.ones((M,), bool)
+
+        def render_reflection(rays, mipval, retrace, rkey):
+            return jnp.ones((rays.shape[0], 3)), None
+
+        rgb, debug = model.shade(
+            xyz, xyz, feat, viewdirs, normals, weights, valid, M,
+            render_reflection, bg_module=None, bg_cache=None,
+            is_train=False, recur=0, key=ks[4])
+        return np.asarray(rgb), debug
+
+    def test_starved_samples_keep_diffuse(self):
+        budget = 256  # demand = 64 * 128 = 8192 >> 256: most samples starve
+        rgb, debug = self._shade(budget)
+        assert np.isfinite(rgb).all()
+        # every unit-weight sample keeps a nonzero (diffuse) color; before
+        # the fallback the starved tail was exactly zero
+        lum = rgb.max(axis=-1)
+        assert (lum > 1e-4).all(), f"{(lum <= 1e-4).sum()} samples black"
+
+    def test_unstarved_render_unchanged(self):
+        # with budget >= demand nothing is starved and the fallback branch
+        # must be inert: ample-budget renders agree between two budgets
+        # that both cover the full demand
+        rgb_a, _ = self._shade(64 * 128 + 64)
+        rgb_b, _ = self._shade(64 * 130)
+        np.testing.assert_allclose(rgb_a, rgb_b, atol=1e-5)
+
+
+class TestChunkInterleave:
+    """render_rays_chunked(interleave=True) assigns ray i to chunk
+    i % n_chunks and must return outputs in the ORIGINAL ray order."""
+
+    def test_order_restored(self):
+        import types
+
+        from nmf_tpu.eval import render_rays_chunked
+
+        N, chunk = 1000, 128
+        rays = np.arange(N * 6, dtype=np.float32).reshape(N, 6)
+        fake_nmf = types.SimpleNamespace(bg_module=None)
+
+        def render_fn(nmf, r, k, c):
+            return {"rgb_map": r[:, :3]}
+
+        for interleave in (False, True):
+            out = render_rays_chunked(fake_nmf, rays, jax.random.PRNGKey(0),
+                                      chunk=chunk, keys=("rgb_map",),
+                                      render_fn=render_fn,
+                                      interleave=interleave)
+            np.testing.assert_array_equal(out["rgb_map"], rays[:, :3])
+
+
 class TestEvalTier:
     """eval_tier precompiled test-time budget tiers (VERDICT r2 next #8;
     reference analogue: test_rays_per_ray + update_n_samples,

@@ -965,7 +965,7 @@ class TestDatasetConfigSurface:
         # names dispatched by data/blender.py:load_dataset
         registry = {"blender", "llff", "nsvf", "tankstemple", "own_data",
                     "synthetic_sphere", "synthetic_shiny",
-                    "synthetic_cluster"}
+                    "synthetic_cluster", "synthetic_studio"}
         ydir = (Path(config_lib.__file__).parent / "configs" / "dataset")
         names = sorted(p.stem for p in ydir.glob("*.yaml"))
         assert len(names) >= 52, names
