@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Kill hung TPU queue stages so retries happen in minutes, not hours.
+
+Failure mode (seen twice): the axon tunnel drops mid-RPC and the training
+process blocks forever on a dead socket — zero CPU, zero file writes —
+while the stage's `timeout` still has hours to run. The queue can only
+retry after the stage exits, so a 6 h timeout burns the whole window.
+
+Decision rule (conservative; all three must hold for STALL_SEC):
+  1. the stage process group (pgid from /tmp/qv6_stage.pid) accumulated
+     < CPU_EPS seconds of CPU time over the window (a live run feeding
+     the TPU always burns host CPU on batch gather/dispatch; a remote
+     compile is idle but finishes well under STALL_SEC),
+  2. nothing under runs/ or .jax_cache/ was written in the window
+     (training writes metrics.jsonl every few minutes; final evals write
+     a png per view; compiles write the cache on completion),
+  3. a bounded probe of the TPU tunnel SUCCEEDS — if the tunnel is down
+     the stage can do nothing anyway and killing it would just respawn
+     into the same outage; the queue's `ensure` gate handles that case.
+
+On trigger: TERM the process group, escalate to KILL after 60 s. The
+queue's run_stage verifies artifacts, sees them incomplete, and retries
+with resume=True from the latest checkpoint.
+
+Run: nohup python runs/stall_watchdog.py >> runs/tpu_queue.log 2>&1 &
+"""
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+PIDFILE = Path("/tmp/qv6_stage.pid")
+POLL_SEC = 120
+STALL_SEC = 1800
+CPU_EPS = 5.0  # seconds of group CPU over the stall window
+CLK = os.sysconf("SC_CLK_TCK")
+
+
+def log(msg):
+    print(f"wd: {msg} {time.strftime('%a %b %d %H:%M:%S UTC %Y', time.gmtime())}",
+          flush=True)
+
+
+def group_cpu_seconds(pgid):
+    """Sum utime+stime over every process in the group; None if empty."""
+    total, found = 0.0, False
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                st = f.read()
+            # comm can contain spaces/parens: parse after the last ')'
+            fields = st[st.rindex(")") + 2:].split()
+            # fields[0] is state; pgrp is fields[2]; utime/stime 11/12
+            if int(fields[2]) != pgid:
+                continue
+            total += (int(fields[11]) + int(fields[12])) / CLK
+            found = True
+        except (OSError, ValueError, IndexError):
+            continue
+    return total if found else None
+
+
+def newest_artifact_mtime():
+    newest = 0.0
+    for root in (REPO / "runs", REPO / ".jax_cache"):
+        if not root.exists():
+            continue
+        for dirpath, _dirnames, filenames in os.walk(root):
+            for fn in filenames:
+                try:
+                    m = os.stat(os.path.join(dirpath, fn)).st_mtime
+                except OSError:
+                    continue
+                if m > newest:
+                    newest = m
+    return newest
+
+
+def tunnel_ok(timeout_s=240):
+    code = ("import jax; d = jax.devices(); "
+            "assert d and d[0].platform != 'cpu'; "
+            "import jax.numpy as jnp; "
+            "assert float(jnp.ones(8).sum()) == 8.0")
+    try:
+        return subprocess.run([sys.executable, "-c", code],
+                              capture_output=True,
+                              timeout=timeout_s).returncode == 0
+    except Exception:
+        return False
+
+
+def should_kill(cpu_delta, write_age, tunnel_live, stall_sec=STALL_SEC,
+                cpu_eps=CPU_EPS):
+    """Pure decision rule (unit-tested in tests/test_queue_gate.py)."""
+    return (cpu_delta is not None and cpu_delta < cpu_eps
+            and write_age is not None and write_age > stall_sec
+            and tunnel_live)
+
+
+def main():
+    log("watchdog up")
+    last = {}  # pgid -> (t, cpu)
+    while True:
+        time.sleep(POLL_SEC)
+        try:
+            pgid = int(PIDFILE.read_text().strip())
+        except (OSError, ValueError):
+            last.clear()
+            continue
+        cpu = group_cpu_seconds(pgid)
+        now = time.time()
+        if cpu is None:
+            last.pop(pgid, None)
+            continue
+        if pgid not in last:
+            last = {pgid: (now, cpu)}
+            continue
+        t0, cpu0 = last[pgid]
+        if cpu - cpu0 >= CPU_EPS:
+            last[pgid] = (now, cpu)  # progress: restart the window
+            continue
+        if now - t0 < STALL_SEC:
+            continue
+        write_age = now - newest_artifact_mtime()
+        if not should_kill(cpu - cpu0, write_age, tunnel_ok()):
+            if write_age <= STALL_SEC:
+                last[pgid] = (now, cpu)  # files moved: restart window
+            continue
+        log(f"STALL pgid {pgid}: cpu+{cpu - cpu0:.1f}s in "
+            f"{now - t0:.0f}s, last write {write_age:.0f}s ago, "
+            f"tunnel live -> TERM group")
+        try:
+            os.killpg(pgid, 15)
+        except ProcessLookupError:
+            last.pop(pgid, None)
+            continue
+        time.sleep(60)
+        try:
+            os.killpg(pgid, 9)
+            log(f"escalated KILL pgid {pgid}")
+        except ProcessLookupError:
+            pass
+        last.pop(pgid, None)
+
+
+if __name__ == "__main__":
+    main()

@@ -66,3 +66,42 @@ def test_empty_mean_txt_fails(tmp_path):
 
 def test_missing_rundir_fails(tmp_path):
     assert _gate(tmp_path / "nope") != 0
+
+
+class TestStallWatchdog:
+    """Decision rule of runs/stall_watchdog.py: kill a stage group only
+    when it burned ~no CPU over the window AND wrote no artifacts AND the
+    tunnel is demonstrably live (a dead-socket hang, not an outage)."""
+
+    def _rule(self):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "stall_watchdog",
+            Path(__file__).parents[1] / "runs" / "stall_watchdog.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.should_kill
+
+    def test_hung_process_killed(self):
+        assert self._rule()(cpu_delta=0.0, write_age=2000, tunnel_live=True)
+
+    def test_live_compute_spared(self):
+        # burning CPU = healthy even if nothing was written (long compile
+        # tail, device-bound timing loop)
+        assert not self._rule()(cpu_delta=30.0, write_age=2000,
+                                tunnel_live=True)
+
+    def test_recent_writes_spared(self):
+        assert not self._rule()(cpu_delta=0.0, write_age=120,
+                                tunnel_live=True)
+
+    def test_tunnel_outage_spared(self):
+        # killing during an outage would respawn into the same outage;
+        # the queue's ensure gate owns that case
+        assert not self._rule()(cpu_delta=0.0, write_age=9999,
+                                tunnel_live=False)
+
+    def test_vanished_group_spared(self):
+        assert not self._rule()(cpu_delta=None, write_age=9999,
+                                tunnel_live=True)
