@@ -165,7 +165,21 @@ class Microfacet:
 
         # --- bounce-ray allocation (pt_selectors.py:5-60, flattened) ---
         w = jnp.where(valid, weights, 0.0)
-        pt_limit = w * rays_per_ray + jax.random.uniform(keys[2], w.shape) - 0.5
+        # Proportional thinning: when the batch's total demand w*rays_per_ray
+        # exceeds the static budget, scale EVERY sample's allocation by the
+        # same factor instead of serving samples in flattened order until
+        # the budget runs out. The positional cliff starved the tail of the
+        # batch (zero bounce rays -> black, and pre-fallback zero gradient);
+        # thinning keeps the estimator unbiased (each sample's incoming
+        # light is a mean over its own kept rays) at slightly higher MC
+        # variance, which is the correct static-shape analogue of the
+        # reference's adaptive update_n_samples (microfacet.py:241-268).
+        # 2% slack absorbs the stochastic-rounding noise (sd ~ sqrt(M)/2).
+        demand = (w * rays_per_ray).sum()
+        alloc_scale = jax.lax.stop_gradient(
+            jnp.minimum(1.0, 0.98 * budget / jnp.clip(demand, 1.0)))
+        pt_limit = (w * rays_per_ray * alloc_scale
+                    + jax.random.uniform(keys[2], w.shape) - 0.5)
         counts = jnp.clip(jnp.floor(pt_limit), 0, 400).astype(jnp.int32)
         counts = jnp.where(valid, counts, 0)
 

@@ -161,12 +161,24 @@ class TestBudgetStarvation:
         lum = rgb.max(axis=-1)
         assert (lum > 1e-4).all(), f"{(lum <= 1e-4).sum()} samples black"
 
+    def test_thinning_serves_all_samples(self):
+        # proportional thinning: demand 8192 vs budget 256 leaves every
+        # sample ~4 rays instead of serving the first ~2 samples in
+        # flattened order and starving the rest. spec is the per-sample
+        # mean of incoming light (== 1 here), so every served sample
+        # reads exactly 1.
+        rgb, debug = self._shade(budget=256)
+        spec = np.asarray(debug["spec"])
+        assert (np.abs(spec - 1.0) < 1e-3).all(), (
+            f"{(np.abs(spec - 1.0) >= 1e-3).any(axis=-1).sum()} of "
+            f"{spec.shape[0]} samples not served")
+
     def test_unstarved_render_unchanged(self):
-        # with budget >= demand nothing is starved and the fallback branch
-        # must be inert: ample-budget renders agree between two budgets
-        # that both cover the full demand
-        rgb_a, _ = self._shade(64 * 128 + 64)
-        rgb_b, _ = self._shade(64 * 130)
+        # with 0.98*budget >= demand nothing is starved or thinned and the
+        # fallback branch must be inert: ample-budget renders agree between
+        # two budgets that both cover the full demand
+        rgb_a, _ = self._shade(64 * 131)
+        rgb_b, _ = self._shade(64 * 135)
         np.testing.assert_allclose(rgb_a, rgb_b, atol=1e-5)
 
 
