@@ -37,28 +37,37 @@ TR = 512      # output rows per tile (VMEM-resident accumulator block)
 CHUNK = 1024  # sorted input rows per DMA chunk
 
 
-def _binsum_kernel(off_ref, idx_hbm, val_hbm, out_ref, vbuf, ibuf,
-                   vsem, isem):
+def _binsum_kernel(off_ref, val_hbm, out_ref, vbuf, vsem):
+    # val_hbm rows are [idx_as_exact_f32 | value channels | lane padding]:
+    # Mosaic requires HBM DMA slices 128-aligned in the LANE dim, so the
+    # row ids ride lane 0 of the (lane-padded) value rows instead of a
+    # separate (CHUNK, 1) buffer, and the channel count is padded to a
+    # multiple of 128 by the caller. Ids are float-CONVERTED (exact for
+    # ids < 2^24), not bitcast: bitcast ids are subnormals and the VPU
+    # flushes subnormals to zero, which collapsed every row onto local
+    # id 0 on real hardware (interpret mode doesn't flush). The id lane
+    # flows through the one-hot matmul into output lane 0, which the
+    # caller slices away.
     t = pl.program_id(0)
     base = t * TR
-    start = off_ref[t]
+    # Mosaic also requires the DMA start 8-aligned in the sublane dim
+    # (f32 tiling (8, 128)): align the tile's range start DOWN to 8. The
+    # <=7 extra head rows belong to the previous tile (ids < base), so
+    # the one-hot id match drops them for free.
+    start = (off_ref[t] // 8) * 8
     n = off_ref[t + 1] - start
     out_ref[:] = jnp.zeros_like(out_ref)
 
     def chunk_body(k, _):
-        s = start + k * CHUNK
+        s = pl.multiple_of(start + k * CHUNK, 8)
         vdma = pltpu.make_async_copy(
             val_hbm.at[pl.ds(s, CHUNK)], vbuf, vsem)
-        idma = pltpu.make_async_copy(
-            idx_hbm.at[pl.ds(s, CHUNK)], ibuf, isem)
         vdma.start()
-        idma.start()
         vdma.wait()
-        idma.wait()
         valid_rows = n - k * CHUNK
         row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TR), 0)
         tgt = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TR), 1)
-        local = ibuf[:, 0:1] - base                       # (CHUNK, 1)
+        local = vbuf[:, 0:1].astype(jnp.int32) - base     # (CHUNK, 1)
         onehot = jnp.where((tgt == local) & (row < valid_rows), 1.0, 0.0)
         out_ref[:] += jax.lax.dot_general(
             onehot, vbuf[:], (((0,), (0,)), ((), ())),
@@ -95,11 +104,16 @@ def binsum_rows(idx, vals, num_rows, interpret=None):
     # offsets via searchsorted against tile boundaries
     bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * TR
     offsets = jnp.searchsorted(sidx, bounds, side="left").astype(jnp.int32)
-    # DMA overrun guard: chunks may read past the last valid row
-    pad = CHUNK
-    sidx = jnp.pad(sidx[:, None], ((0, pad), (0, 0)),
-                   constant_values=np.int32(r_pad))
-    svals = jnp.pad(svals, ((0, pad), (0, 0)))
+    # Pack [id_as_exact_f32 | values] rows and pad the lane dim to a
+    # multiple of 128 (Mosaic DMA alignment; see _binsum_kernel). Row
+    # padding is the DMA overrun guard: chunks may read past the last
+    # valid row, so overrun rows carry the out-of-range id r_pad.
+    LANE = 128
+    Cp = int(-(-(C + 1) // LANE) * LANE)
+    packed = jnp.concatenate(
+        [sidx[:, None].astype(jnp.float32), svals], axis=1)
+    packed = jnp.pad(packed, ((0, CHUNK), (0, Cp - (C + 1))))
+    packed = packed.at[n:, 0].set(jnp.float32(r_pad))
 
     out = pl.pallas_call(
         _binsum_kernel,
@@ -108,18 +122,15 @@ def binsum_rows(idx, vals, num_rows, interpret=None):
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
             ],
-            out_specs=pl.BlockSpec((TR, C), lambda t, off: (t, 0),
+            out_specs=pl.BlockSpec((TR, Cp), lambda t, off: (t, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((CHUNK, C), jnp.float32),
-                pltpu.VMEM((CHUNK, 1), jnp.int32),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.VMEM((CHUNK, Cp), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((r_pad, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r_pad, Cp), jnp.float32),
         interpret=interpret,
-    )(offsets, sidx, svals)
-    return out[:num_rows]
+    )(offsets, packed)
+    return out[:num_rows, 1:C + 1]
