@@ -380,14 +380,15 @@ class Microfacet:
             R0s = matprop["f0"]
             cth = jnp.abs((-viewdirs * normals).sum(-1, keepdims=True))
             sr = R0s + (1 - R0s) * jnp.clip(1 - cth, 0, 1) ** 5
-            # Budget-starved samples (allocation truncated to zero slots:
-            # starts >= budget) otherwise composite to BLACK — fresnel
-            # mixing folds the diffuse term into the per-bounce-ray comb,
-            # so losing all slots loses the *known* diffuse too. Fall back
-            # to the sample-level diffuse lobe (the unknown specular term
-            # stays zero). Only reachable when a chunk's total demand
-            # exceeds brdf_ray_budget.
-            starved = ((counts > 0) & (kept == 0))[:, None]
+            # Samples whose allocation ends up with zero slots (budget
+            # truncation, or proportional thinning rounding a small
+            # w*rays_per_ray*alloc_scale down to 0) otherwise composite to
+            # BLACK — fresnel mixing folds the diffuse term into the
+            # per-bounce-ray comb, so losing all slots loses the *known*
+            # diffuse too. Fall back to the sample-level diffuse lobe (the
+            # unknown specular term stays zero) for every contributing
+            # (w > 0) sample.
+            starved = ((w > 0) & (kept == 0))[:, None]
             rgb = jnp.where(starved, (1 - sr) * diffuse, rgb)
             debug["diffuse"] = (1 - sr) * diffuse
             debug["tint"] = (sr * brdf_rgb if mode == "fresnel" else sr)

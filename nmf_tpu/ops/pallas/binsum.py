@@ -92,6 +92,10 @@ def binsum_rows(idx, vals, num_rows, interpret=None):
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # ids ride a float32 lane (see _binsum_kernel): exact only below 2^24
+    assert num_rows <= 2 ** 24, (
+        f"binsum_rows: num_rows={num_rows} exceeds exact-f32-integer range; "
+        "row ids and the r_pad sentinel would silently collide")
     n, C = vals.shape
     idx = idx.astype(jnp.int32)
     order = jnp.argsort(idx)

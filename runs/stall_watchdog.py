@@ -95,10 +95,20 @@ def tunnel_ok(timeout_s=240):
 
 def should_kill(cpu_delta, write_age, tunnel_live, stall_sec=STALL_SEC,
                 cpu_eps=CPU_EPS):
-    """Pure decision rule (unit-tested in tests/test_queue_gate.py)."""
-    return (cpu_delta is not None and cpu_delta < cpu_eps
-            and write_age is not None and write_age > stall_sec
-            and tunnel_live)
+    """Pure decision rule (unit-tested in tests/test_queue_gate.py).
+
+    The tunnel_live requirement avoids killing a stage that is merely
+    waiting out an outage (one recorded stall recovered when the relay
+    revived). But the probe itself can fail exactly when the hung client
+    wedges the tunnel, so after 3x the stall window with zero CPU the
+    stage is killed regardless: the queue's ensure-gate then waits for
+    the tunnel cleanly and resumes the instant it returns, instead of
+    burning the stage's multi-hour timeout.
+    """
+    if cpu_delta is None or write_age is None:
+        return False
+    stalled = cpu_delta < cpu_eps and write_age > stall_sec
+    return stalled and (tunnel_live or write_age > 3 * stall_sec)
 
 
 def main():

@@ -6,13 +6,19 @@ flagship_fixed400 checkpoint with the CURRENT code (interleave default
 on, diffuse fallback in) and compares PSNR against the striped scanline
 render the run dumped (imgs_test_all/000.png).
 
-Usage: JAX_PLATFORMS=cpu python runs/stripe_fullview.py
+Usage: python runs/stripe_fullview.py  (forces the CPU platform itself —
+the JAX_PLATFORMS env var is ignored because sitecustomize pins the
+axon TPU platform before user code runs)
 """
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 

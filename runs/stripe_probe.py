@@ -13,13 +13,19 @@ checkpoint twice: (a) scanline ray order, (b) the same rays in a
 strided interleave (decoded back after). If (b) kills the stripes the
 starvation mechanism is confirmed.
 
-Usage: JAX_PLATFORMS=cpu python runs/stripe_probe.py
+Usage: python runs/stripe_probe.py  (forces the CPU platform itself —
+the JAX_PLATFORMS env var is ignored because sitecustomize pins the
+axon TPU platform before user code runs)
 """
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 

@@ -124,7 +124,7 @@ class TestBudgetStarvation:
     400px flagship. Starved samples must fall back to their sample-level
     diffuse lobe instead."""
 
-    def _shade(self, budget, M=64, rays_per_ray=128):
+    def _shade(self, budget, M=64, rays_per_ray=128, weights=None):
         from nmf_tpu.models.microfacet import init_microfacet
         from nmf_tpu.ops.safemath import normalize
 
@@ -140,7 +140,8 @@ class TestBudgetStarvation:
         feat = jax.random.normal(ks[1], (M, 16)) * 0.1
         viewdirs = normalize(jax.random.normal(ks[2], (M, 3)))
         normals = normalize(jax.random.normal(ks[3], (M, 3)))
-        weights = jnp.ones((M,))
+        if weights is None:
+            weights = jnp.ones((M,))
         valid = jnp.ones((M,), bool)
 
         def render_reflection(rays, mipval, retrace, rkey):
@@ -158,6 +159,16 @@ class TestBudgetStarvation:
         assert np.isfinite(rgb).all()
         # every unit-weight sample keeps a nonzero (diffuse) color; before
         # the fallback the starved tail was exactly zero
+        lum = rgb.max(axis=-1)
+        assert (lum > 1e-4).all(), f"{(lum <= 1e-4).sum()} samples black"
+
+    def test_thinned_to_zero_keeps_diffuse(self):
+        # low-weight samples whose allocation the proportional thinning
+        # rounds down to ZERO rays must also fall back to diffuse: with
+        # half the samples at w=0.05 and scale ~0.04, their
+        # w*rays_per_ray*scale ~ 0.26 floors to 0 deterministically
+        w = jnp.where(jnp.arange(64) % 2 == 0, 1.0, 0.05)
+        rgb, _ = self._shade(budget=256, weights=w)
         lum = rgb.max(axis=-1)
         assert (lum > 1e-4).all(), f"{(lum <= 1e-4).sum()} samples black"
 

@@ -96,11 +96,19 @@ class TestStallWatchdog:
         assert not self._rule()(cpu_delta=0.0, write_age=120,
                                 tunnel_live=True)
 
-    def test_tunnel_outage_spared(self):
+    def test_tunnel_outage_spared_within_grace(self):
         # killing during an outage would respawn into the same outage;
-        # the queue's ensure gate owns that case
-        assert not self._rule()(cpu_delta=0.0, write_age=9999,
+        # the queue's ensure gate owns that case (recorded stalls have
+        # recovered on relay revival) — up to the 3x grace window
+        assert not self._rule()(cpu_delta=0.0, write_age=2000,
                                 tunnel_live=False)
+
+    def test_wedged_tunnel_killed_after_grace(self):
+        # a hung client can wedge the tunnel so the probe itself fails;
+        # after 3x the stall window with zero CPU, kill regardless and
+        # let the queue's ensure gate wait out the outage cleanly
+        assert self._rule()(cpu_delta=0.0, write_age=6000,
+                            tunnel_live=False)
 
     def test_vanished_group_spared(self):
         assert not self._rule()(cpu_delta=None, write_age=9999,
