@@ -104,6 +104,12 @@ class Microfacet:
         return new, False
 
     def update_n_samples(self, n_samples):
+        """No-op: the reference resizes its bounce budgets to the live
+        sample count here (microfacet.py:241-268). Our budgets are
+        compile-time statics; the adaptive role is played by (a)
+        proportional allocation thinning in shade() — demand above the
+        budget scales every sample's rays down by a common factor — and
+        (b) eval_tier's precompiled test-time budget multipliers."""
         return self
 
     def calibrate(self, key, xyz, feat, bg_brightness):
