@@ -266,7 +266,7 @@ def _save_map(save_dir, sub, idx, img, prefix=""):
 
 
 def evaluate(nmf: NMF, dataset, key, save_dir: Optional[str] = None,
-             n_vis: int = -1, chunk: int = 4096, prefix: str = "",
+             n_vis: int = -1, chunk: Optional[int] = None, prefix: str = "",
              compute_extra_metrics: bool = True, gt_bg=None,
              save_all_maps: bool = True, mesh=None, streaming: bool = False):
     """Per-image metrics + full artifact dump (renderer.py:194-534).
@@ -274,6 +274,11 @@ def evaluate(nmf: NMF, dataset, key, save_dir: Optional[str] = None,
     replicated) so eval renders spread across a slice. ``streaming=True``
     renders through the blockwise alive-ray marcher (render_streaming;
     rgb/acc/depth maps only — local-shading models)."""
+    if chunk is None:
+        # the model's eval_batch_size knob (reference eval batch config);
+        # budgets are sized per chunk, so scaling chunk without scaling
+        # brdf_ray_budget proportionally thins the per-sample MC rays
+        chunk = int(getattr(nmf, "eval_batch_size", 4096) or 4096)
     W, H = dataset["img_wh"]
     n_px = H * W
     n_images = dataset["all_rays"].shape[0] // n_px
