@@ -228,6 +228,11 @@ run_stage shgrad8k_off runs/synthetic_shiny_shgrad8k_off 10 4 \
   arm8k shgrad8k_off model.arch.bg_module.sh_grad=False
 run_stage normoracle8k runs/synthetic_shiny_normoracle8k 10 4 \
   arm8k normoracle8k model.params.normal_err_lambda=0.02
+# floater-halo arm: the corrected tier_train400 re-eval shows a white
+# fog plume + acc holes; distortion loss penalizes the spread-out
+# density the fog needs (reference exposes the same knob, shipped 0)
+run_stage dist8k runs/synthetic_shiny_dist8k 10 4 \
+  arm8k dist8k model.params.distortion_lambda=0.001
 
 run_stage flagship_noup400 runs/synthetic_shiny_flagship_noup400 55 10 \
   bash runs/run_flagship_noup400.sh
