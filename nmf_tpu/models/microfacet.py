@@ -415,6 +415,11 @@ class Microfacet:
         debug["roughness"] = matprop["r1"]
         debug["spec"] = spec
         debug["albedo"] = albedo
+        # Telemetry: the proportional-thinning factor actually applied this
+        # batch (1.0 = demand fit the budget; 0.25 = every sample got a
+        # quarter of the bounce rays it asked for, i.e. 4x the MC variance
+        # the budgets were sized for). Scalar; popped into stats by render().
+        debug["__thin_scale"] = alloc_scale
         if vis_loss is not None:
             # scalar; popped into stats by render() (not a per-sample map)
             debug["__visibility_loss"] = vis_loss

@@ -262,6 +262,8 @@ def render(nmf: NMF, rays, key, focal=1.0, is_train=False, bg_col=(1.0, 1.0, 1.0
         v_world_normal = world_normal
 
     # ---- shading model (L4) ----
+    retrace_thin = []  # thinning telemetry surfaced from the retrace level
+
     def render_reflection(bounce_rays, mipval, retrace, rkey):
         """bounce_rays: (T, 6); mipval: (T,). Returns (rgb (T,3), bg_vis)."""
         if retrace:
@@ -271,6 +273,8 @@ def render(nmf: NMF, rays, key, focal=1.0, is_train=False, bg_col=(1.0, 1.0, 1.0
                 override_near=3 * nmf.sampler.live_stepsize,
                 stepmul=nmf.recur_stepmul, tonemap=False,
                 start_mipval=mipval, bg_cache=bg_cache)
+            if "thin_scale" in inc_stats:
+                retrace_thin.append(inc_stats["thin_scale"])
             return inc_ims["rgb_map"], 1 - inc_ims["acc_map"]
         else:
             return render_just_bg(nmf, bounce_rays[:, 3:6], mipval,
@@ -285,12 +289,17 @@ def render(nmf: NMF, rays, key, focal=1.0, is_train=False, bg_col=(1.0, 1.0, 1.0
         recur=recur, key=keys[1])
     rgb = rgb.reshape(B, K, 3)
     vis_loss = debug.pop("__visibility_loss", None)
+    thin_scale = debug.pop("__thin_scale", None)
 
     eweight = weight[..., None]
     rgb_map = row_mask_sum(eweight * rgb, valid)
 
     images = {}
     stats = {"recur": recur}
+    if thin_scale is not None:
+        stats["thin_scale"] = thin_scale
+        if retrace_thin:
+            stats["thin_scale_retrace"] = retrace_thin[0]
 
     # ---- background ----
     tm_fn, _ = get_tonemap(nmf.tonemap)

@@ -389,13 +389,20 @@ def reconstruction(cfg, log=print):
             psnrs.append(psnr)
             elapsed = time.time() - t_start
             rays_per_sec = rays_done / max(elapsed, 1e-9)
+            thin = {k: round(float(metrics[k]), 4)
+                    for k in ("thin_scale", "thin_scale_retrace")
+                    if k in metrics}
             run_log.scalars(last_it, psnr=psnr,
                             loss=float(metrics["loss"]),
                             rays_per_sec=round(rays_per_sec, 1),
-                            n_valid_samples=int(metrics["n_valid_samples"]))
+                            n_valid_samples=int(metrics["n_valid_samples"]),
+                            **thin)
             log(f"iter {last_it:06d} psnr={psnr:.2f} "
                 f"loss={float(metrics['loss']):.5f} "
-                f"rays/s={rays_per_sec:.0f}")
+                f"rays/s={rays_per_sec:.0f}"
+                + (f" thin={thin.get('thin_scale', 1.0):.2f}"
+                   f"/{thin.get('thin_scale_retrace', 1.0):.2f}"
+                   if thin else ""))
 
         # schedule events (train.py:806-813); leaf-value decays inside the
         # covered range apply at the chunk end (drift < chain_max iters)

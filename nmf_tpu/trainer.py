@@ -270,6 +270,11 @@ def compute_loss(nmf: NMF, rays, rgb_gt, key, weights: LossWeights,
                  ).mean()
     metrics = {"loss": total, "photo_mse": photo_mse,
                "n_valid_samples": stats.get("n_valid_samples", 0)}
+    # bounce-budget telemetry (microfacet only): fraction of the requested
+    # bounce rays each sample actually received this batch
+    for k in ("thin_scale", "thin_scale_retrace"):
+        if k in stats:
+            metrics[k] = stats[k]
     return total, metrics
 
 

@@ -192,6 +192,15 @@ class TestBudgetStarvation:
         rgb_b, _ = self._shade(64 * 135)
         np.testing.assert_allclose(rgb_a, rgb_b, atol=1e-5)
 
+    def test_thin_scale_telemetry(self):
+        # shade reports the applied thinning factor: ~budget/demand when
+        # demand overflows, exactly 1.0 when the budget covers demand
+        _, debug = self._shade(budget=256)  # demand 64*128 = 8192
+        thin = float(debug["__thin_scale"])
+        assert abs(thin - 0.98 * 256 / 8192) < 1e-6, thin
+        _, debug = self._shade(budget=64 * 131)
+        assert float(debug["__thin_scale"]) == 1.0
+
 
 class TestChunkInterleave:
     """render_rays_chunked(interleave=True) assigns ray i to chunk
