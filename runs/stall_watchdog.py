@@ -64,6 +64,24 @@ def group_cpu_seconds(pgid):
     return total if found else None
 
 
+def leader_starttime(pgid):
+    """starttime (clock ticks since boot) of the group leader, or None.
+
+    /tmp/qv6_stage.pid can outlive its stage (queue died before cleanup);
+    if the kernel recycles the pid for an unrelated idle process group,
+    killpg would TERM innocents after 30 min. The leader's starttime is
+    immutable per pid incarnation, so recording it when a group is first
+    seen and re-verifying before every signal pins the window and the
+    kill to the same incarnation."""
+    try:
+        with open(f"/proc/{pgid}/stat") as f:
+            st = f.read()
+        fields = st[st.rindex(")") + 2:].split()
+        return int(fields[19])  # starttime is stat field 22 (1-indexed)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def newest_artifact_mtime():
     newest = 0.0
     for root in (REPO / "runs", REPO / ".jax_cache"):
@@ -122,23 +140,31 @@ def main():
             last.clear()
             continue
         cpu = group_cpu_seconds(pgid)
+        start = leader_starttime(pgid)
         now = time.time()
         if cpu is None:
             last.pop(pgid, None)
             continue
-        if pgid not in last:
-            last = {pgid: (now, cpu)}
+        if pgid not in last or last[pgid][2] != start:
+            # new group, or the pid was recycled since last poll:
+            # restart the observation window on this incarnation
+            last = {pgid: (now, cpu, start)}
             continue
-        t0, cpu0 = last[pgid]
+        t0, cpu0, start0 = last[pgid]
         if cpu - cpu0 >= CPU_EPS:
-            last[pgid] = (now, cpu)  # progress: restart the window
+            last[pgid] = (now, cpu, start)  # progress: restart the window
             continue
         if now - t0 < STALL_SEC:
             continue
         write_age = now - newest_artifact_mtime()
         if not should_kill(cpu - cpu0, write_age, tunnel_ok()):
             if write_age <= STALL_SEC:
-                last[pgid] = (now, cpu)  # files moved: restart window
+                last[pgid] = (now, cpu, start)  # files moved: restart
+            continue
+        if leader_starttime(pgid) != start0:
+            # pid recycled between the window and the signal: never
+            # killpg a different incarnation
+            last.pop(pgid, None)
             continue
         log(f"STALL pgid {pgid}: cpu+{cpu - cpu0:.1f}s in "
             f"{now - t0:.0f}s, last write {write_age:.0f}s ago, "

@@ -250,6 +250,20 @@ class TestEvalTier:
         # train-time knobs untouched
         assert m2.rays_per_ray == m0.rays_per_ray
 
+    def test_invalid_tiers_fail_fast(self):
+        """Non-integral / non-positive numeric tiers must raise at startup
+        (2.7 must not silently truncate to 2; -1 must not no-op)."""
+        import pytest
+
+        from nmf_tpu.eval import validate_eval_tier
+
+        assert validate_eval_tier("high") == 2
+        assert validate_eval_tier(4) == 4
+        assert validate_eval_tier(2.0) == 2  # integral float is fine
+        for bad in ("hgih", 2.7, 0, -1):
+            with pytest.raises(ValueError):
+                validate_eval_tier(bad)
+
     def test_non_microfacet_passthrough(self):
         from nmf_tpu import config as config_lib
         from nmf_tpu.builders import build_nmf

@@ -168,6 +168,45 @@ class TestOverfit:
         steps = [r["step"] for r in recs if "psnr" in r and "step" in r]
         assert steps and min(steps) >= 4, steps  # no pre-resume iterations
 
+    def test_stop_iter_pause_and_resume(self, tmp_path):
+        """stop_iter pauses a run with full n_iters-shaped schedules and a
+        resumable latest checkpoint; a resume=True rerun (no stop_iter)
+        continues to n_iters and runs the final eval. Exercised with
+        lr_upsample_reset=false (the continued-decay mode)."""
+        import pickle
+
+        from nmf_tpu import config as config_lib
+        from nmf_tpu.train import reconstruction
+
+        base = [
+            "model=tensorf", "dataset=synthetic_sphere",
+            "dataset.image_size=16", "dataset.n_views=2",
+            "model.params.batch_size=64", "model.params.n_iters=10",
+            "model.params.lr_upsample_reset=false",
+            "field.N_voxel_init=4096", "field.N_voxel_final=8000",
+            "field.upsamp_list=[4]", "model.arch.sampler.update_list=[2]",
+            "model.arch.max_samples_per_ray=24",
+            "vis_every=0", "N_vis=1", "render_test=False",
+            f"basedir={tmp_path}", "expname=stp", "chain_steps=2",
+            "progress_refresh_rate=2", "save_every=0",
+        ]
+        reconstruction(config_lib.compose(base + ["stop_iter=6"]),
+                       log=lambda *a, **k: None)
+        rundir = tmp_path / "synthetic_sphere_stp"
+        latest = rundir / "synthetic_sphere_stp_latest.th"
+        assert latest.exists()
+        with open(latest, "rb") as f:
+            assert pickle.load(f)["extra"]["iteration"] == 6
+        # paused: no final checkpoint/eval yet
+        assert not (rundir / "synthetic_sphere_stp.th").exists()
+
+        nmf, res = reconstruction(
+            config_lib.compose(base + ["resume=True", "render_test=True"]),
+            log=lambda *a, **k: None)
+        assert (rundir / "synthetic_sphere_stp.th").exists()
+        assert res and np.isfinite(res.get("psnr", np.nan))
+        assert nmf.rf.grid_size[0] > 16  # the iter-4 upsample fired pre-pause
+
     def test_diffuse_view_encoders(self):
         """view_encoder / roughness_view_encoder knobs on the diffuse head
         (reference render_modules.py:493-557, NULL in shipped configs) build
@@ -397,6 +436,41 @@ class TestFusedOptimizer:
         u0, _ = tx0.update(zgrads, tx0.init(nmf), params=nmf)
         assert float(np.abs(np.asarray(u0.rf.density_rf.planes[0])).max()) \
             < 1e-12
+
+    def test_fast_forward_opt_state(self):
+        """lr_upsample_reset=false semantics: after fast_forward, the
+        schedule picks up the GLOBAL decay (updates shrink vs a fresh
+        state), moments stay zero, and float leaves are untouched."""
+        ds = make_sphere_dataset(n_views=1, H=16, W=16)
+        key = jax.random.PRNGKey(0)
+        nmf = build_small(key, ds, grid=16, k_spr=16)
+        cfg = trainer.OptimConfig(n_iters=1000, lr_delay_steps=0)
+        tx = trainer.make_optimizer(nmf, cfg, fused=True)
+        grads = jax.tree_util.tree_map(jnp.ones_like, nmf)
+        fresh = tx.init(nmf)
+        ffwd = trainer.fast_forward_opt_state(fresh, 500)
+        # float leaves (adam moments) unchanged, int scalar counts = 500
+        for a, b in zip(jax.tree_util.tree_leaves(fresh),
+                        jax.tree_util.tree_leaves(ffwd)):
+            if np.ndim(a) == 0 and np.issubdtype(
+                    np.asarray(a).dtype, np.integer):
+                assert int(b) == 500
+            else:
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        u0, _ = tx.update(grads, fresh, params=nmf)
+        u5, _ = tx.update(grads, ffwd, params=nmf)
+        # lr(500)/lr(0) = (lr_final/lr_init)^0.5 = 1e-3^.5 ~ 0.0316
+        ratios = [float(np.abs(np.asarray(b)).max()
+                        / max(np.abs(np.asarray(a)).max(), 1e-30))
+                  for a, b in zip(jax.tree_util.tree_leaves(u0),
+                                  jax.tree_util.tree_leaves(u5))
+                  if float(np.abs(np.asarray(a)).max()) > 0]
+        assert ratios, "no trainable leaves"
+        expected = 1e-3 ** 0.5
+        for r in ratios:
+            # rtol covers the count-increment convention (sched(c) vs
+            # sched(c+1) is a 1e-3^(1/1000) ~ 0.7% step at n_iters=1000)
+            np.testing.assert_allclose(r, expected, rtol=1e-2)
 
     def test_frozen_leaves_stay_frozen(self):
         ds = make_sphere_dataset(n_views=1, H=16, W=16)
