@@ -123,8 +123,16 @@ def render_rays_chunked(nmf: NMF, rays, key, chunk=4096, draw_debug=True,
         ims = render_fn(nmf, r, sk, bg_cache)
         for k in keys:
             if k in ims:
-                outs.setdefault(k, []).append(np.asarray(ims[k]))
-    out = {k: np.concatenate(v, 0)[:N] for k, v in outs.items()}
+                # keep DEVICE arrays: jax dispatch is async, so the next
+                # chunk launches while this one renders. A per-chunk
+                # np.asarray here was a blocking device->host fetch per
+                # map per chunk (~480 tunnel round trips per 400px view
+                # through the remote-TPU relay), which made full-set
+                # evals latency-bound, not render-bound.
+                outs.setdefault(k, []).append(ims[k])
+    # one device-side concatenate + ONE host fetch per map
+    out = jax.device_get(
+        {k: jnp.concatenate(v, 0)[:N] for k, v in outs.items()})
     if interleave and n_chunks > 1:
         out = {k: v[inv] for k, v in out.items()}
     return out

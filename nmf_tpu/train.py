@@ -340,6 +340,30 @@ def reconstruction(cfg, log=print):
                 mesh=mesh)
         return chain_fn
 
+    # Adaptive bounce/retrace budgets (opt-in): the TPU static-shape
+    # analogue of the reference's update_n_samples runtime controller
+    # (/root/reference/models/microfacet.py:241-268). Budgets move through
+    # pow2 multiplier buckets {1..adapt_brdf_budget_max} driven by the
+    # measured thinning telemetry (proportional thinning serves every
+    # sample rays ∝ weight, so thin_scale = served/demand); each bucket
+    # transition costs one recompile, like the batch-size controller.
+    adapt_budget = bool(params.get("adapt_brdf_budget", False))
+    budget_max_mult = int(params.get("adapt_brdf_budget_max", 4))
+    base_brdf = getattr(nmf.model, "brdf_ray_budget", None)
+    base_retrace = getattr(nmf.model, "max_retrace_rays", None)
+    adapt_budget = adapt_budget and base_brdf is not None
+    budget_mult = 1
+    if adapt_budget and cfg.get("resume"):
+        # the checkpointed model carries SCALED budgets; recover the base
+        budget_mult = int(resume_extra.get("budget_mult", 1))
+        base_brdf = tuple(b // budget_mult for b in base_brdf)
+        base_retrace = tuple(r // budget_mult for r in base_retrace)
+
+    def apply_budget_mult(nmf, mult):
+        return nmf.replace(model=nmf.model.replace(
+            brdf_ray_budget=tuple(b * mult for b in base_brdf),
+            max_retrace_rays=tuple(r * mult for r in base_retrace)))
+
     ori_mult, pred_mult, tv_mult = 1.0, 1.0, 1.0
     psnrs = []
     t_start = time.time()
@@ -397,6 +421,29 @@ def reconstruction(cfg, log=print):
             bucket = 2 ** int(math.floor(math.log2(
                 max(float(target_ns) / spr, 1.0))))
             cur_bs = fit_bs(np.clip(bucket, min_bs, max_bs))
+        if adapt_budget and (last_it + 1) % 16 == 0:
+            thin = min(float(metrics.get("thin_scale", 1.0)),
+                       float(metrics.get("thin_scale_retrace", 1.0)))
+            new_mult = budget_mult
+            if thin < 0.5 and budget_mult * 2 <= budget_max_mult:
+                new_mult = budget_mult * 2   # demand >2x served: grow
+            elif thin > 0.98 and budget_mult > 1:
+                new_mult = budget_mult // 2  # budget idle: shrink back
+            if new_mult != budget_mult:
+                budget_mult = new_mult
+                nmf = apply_budget_mult(nmf, budget_mult)
+                # budgets are static pytree metadata: the optimizer's
+                # nmf-shaped trees (Adam moments, lr tree) must adopt the
+                # new treedef. Rebuild tx, then transplant the existing
+                # moment leaves (array shapes are unaffected by budget
+                # changes) so optimization state survives the transition.
+                old_leaves = jax.tree_util.tree_leaves(opt_state)
+                tx, opt_state, step_fn = init_optimizer(nmf)
+                opt_state = jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(opt_state), old_leaves)
+                chain_fn = None
+                log(f"iter {last_it}: brdf budget mult -> x{budget_mult} "
+                    f"(thin={thin:.2f})")
 
         if (iteration // refresh) != ((last_it + 1) // refresh) \
                 or iteration == 0:
@@ -460,17 +507,24 @@ def reconstruction(cfg, log=print):
                 and last_it + 1 < n_iters:
             ckpt_lib.save(latest_path, nmf, cfg,
                           extra={"iteration": last_it + 1,
-                                 "cur_bs": int(cur_bs)})
+                                 "cur_bs": int(cur_bs),
+                                 "budget_mult": int(budget_mult)})
         iteration = last_it + 1
 
     if iteration < n_iters:
         # stop_iter pause: persist resume state, skip the final save/eval
         ckpt_lib.save(latest_path, nmf, cfg,
-                      extra={"iteration": iteration, "cur_bs": int(cur_bs)})
+                      extra={"iteration": iteration, "cur_bs": int(cur_bs),
+                             "budget_mult": int(budget_mult)})
         log(f"stop_iter pause at {iteration}/{n_iters}; "
             f"resume=True continues")
         return nmf, {}
 
+    if adapt_budget and budget_mult != 1:
+        # train-time adaptivity only (like the reference's
+        # update_n_samples): the shipped checkpoint and the final eval
+        # carry the configured budgets; eval_tier scales them explicitly
+        nmf = apply_budget_mult(nmf, 1)
     ckpt_lib.save(logfolder / f"{expname}.th", nmf, cfg)
 
     res = {}

@@ -19,6 +19,9 @@ import pytest
 from nmf_tpu.fields.tensorf import init_tensorvm_split
 from nmf_tpu.samplers.alphagrid import AlphaGridSampler
 
+# Multi-minute e2e tests: excluded from the quick gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 AABB = np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]], dtype=np.float32)
 
 

@@ -7,8 +7,12 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
+
+# Multi-minute e2e tests: excluded from the quick gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 from nmf_tpu.data.synthetic import (_SHINY_SPHERES, _ShinyEnv, _sphere_hit,
                                     _shiny_first_hit, render_shiny_scene)

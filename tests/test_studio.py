@@ -9,8 +9,12 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
+
+# Multi-minute e2e tests: excluded from the quick gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 from nmf_tpu.data.synthetic import _STUDIO_SPHERES, _shiny_first_hit
 

@@ -17,6 +17,9 @@ from nmf_tpu.models.tensorf import init_tensorf_shade
 from nmf_tpu.render import NMF, render
 from nmf_tpu.samplers.alphagrid import AlphaGridSampler
 
+# Multi-minute e2e tests: excluded from the quick gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def build_small(key, ds, grid=32, k_spr=48):
     k1, k2 = jax.random.split(key)
@@ -206,6 +209,45 @@ class TestOverfit:
         assert (rundir / "synthetic_sphere_stp.th").exists()
         assert res and np.isfinite(res.get("psnr", np.nan))
         assert nmf.rf.grid_size[0] > 16  # the iter-4 upsample fired pre-pause
+
+    def test_adaptive_brdf_budget(self, tmp_path):
+        """adapt_brdf_budget=true grows the bounce/retrace buffers through
+        pow2 buckets when thinning reports demand >2x the budget (the
+        static-shape analogue of reference update_n_samples,
+        microfacet.py:241-268), and the final checkpoint restores the
+        configured budgets."""
+        import pickle
+
+        from nmf_tpu import config as config_lib
+        from nmf_tpu.train import reconstruction
+
+        logs = []
+        cfg = config_lib.compose([
+            "model=microfacet_tensorf2", "dataset=synthetic_sphere",
+            "dataset.image_size=24", "dataset.n_views=2",
+            "model.params.batch_size=256", "model.params.n_iters=20",
+            "model.params.adapt_brdf_budget=true",
+            "model.params.adapt_brdf_budget_max=2",
+            "field.N_voxel_init=4096", "field.N_voxel_final=4096",
+            "field.upsamp_list=[]", "model.arch.sampler.update_list=[]",
+            "model.arch.max_samples_per_ray=16",
+            "model.arch.recur_samples_per_ray=8",
+            # tiny budgets so demand (~weights*rays_per_ray) overflows
+            "model.arch.model.brdf_ray_budget=[64,32]",
+            "model.arch.model.max_retrace_rays=[16]",
+            "vis_every=0", "N_vis=0", "render_test=False",
+            f"basedir={tmp_path}", "expname=ab", "chain_steps=2",
+            "progress_refresh_rate=16", "save_every=0",
+        ])
+        nmf, _ = reconstruction(cfg, log=lambda *a, **k: logs.append(
+            " ".join(str(x) for x in a)))
+        assert any("brdf budget mult -> x2" in s for s in logs), logs[-5:]
+        # final checkpoint restores the configured (base) budgets
+        rundir = tmp_path / "synthetic_sphere_ab"
+        with open(rundir / "synthetic_sphere_ab.th", "rb") as f:
+            saved = pickle.load(f)
+        assert tuple(nmf.model.brdf_ray_budget) == (64, 32)
+        assert tuple(nmf.model.max_retrace_rays) == (16,)
 
     def test_diffuse_view_encoders(self):
         """view_encoder / roughness_view_encoder knobs on the diffuse head
