@@ -423,9 +423,14 @@ def _gt_content_hash():
         for row in tbl:
             for v in row:
                 h.update(np.asarray(v, np.float64).tobytes())
+    # make_shiny_dataset itself carries the camera-pose and ray-generation
+    # math (look-at, hemisphere stratification, ray normalization) — a GT
+    # edit there must invalidate too, so its source joins the hash (the
+    # hash is static text; no recursion with being called from inside it)
     for fn in (shiny_env_fn, equirect_dirs, _ShinyEnv, _sphere_hit,
                _shiny_first_hit, _shiny_mats, _shiny_direct_shade, _frame,
-               _interreflection_delta, render_shiny_scene, _np_srgb):
+               _interreflection_delta, render_shiny_scene, _np_srgb,
+               make_shiny_dataset):
         try:
             h.update(inspect.getsource(fn).encode())
         except (OSError, TypeError):  # source unavailable (frozen/REPL)

@@ -122,6 +122,17 @@ def make_loss_weights(params, iteration=0, ori_mult=1.0, pred_mult=1.0,
     )
 
 
+def _final_n_vis(cfg):
+    """View count for headline (final / render_only) evals: final_N_vis
+    decouples the full-test-set mean.txt from the cheap mid-train
+    vis_every probes (N_vis). One definition for both call sites so the
+    render_only mean can never silently diverge from the post-train one."""
+    final_n = cfg.get("final_N_vis", None)
+    if final_n is None:
+        final_n = cfg.get("N_vis", -1)
+    return final_n
+
+
 def reconstruction(cfg, log=print):
     params = cfg["model"]["params"]
     # a typo'd eval_tier must fail NOW, not at the final eval after the
@@ -238,8 +249,29 @@ def reconstruction(cfg, log=print):
     # global decay across events (original-TensoRF `lr_factor**iteration`
     # semantics) — see trainer.fast_forward_opt_state
     lr_reset = bool(params.get("lr_upsample_reset", True))
-    if not lr_reset and start_iter:
-        opt_state = trainer.fast_forward_opt_state(opt_state, start_iter)
+    if start_iter:
+        if lr_reset:
+            # reference-parity mode restarts the schedule at every event,
+            # so the unpaused run's count at start_iter is the distance
+            # from the LAST event — resume must reproduce that, not jump
+            # back to lr_init + warmup (a stop_iter pause would otherwise
+            # train its post-resume span on a different lr trajectory
+            # than the run it claims to continue)
+            def _event_list():
+                evs = set()
+                for attr in ("upsamp_list",):
+                    evs.update(getattr(nmf.rf, attr, ()) or ())
+                for attr in ("update_list", "shrink_iters"):
+                    evs.update(getattr(nmf.sampler, attr, ()) or ())
+                return evs
+
+            last_ev = max((e for e in _event_list() if e <= start_iter),
+                          default=0)
+            offset = start_iter - last_ev
+        else:
+            offset = start_iter
+        if offset:
+            opt_state = trainer.fast_forward_opt_state(opt_state, offset)
 
     # TV anneal factor (reference train.py:291-295): target_ratio^(1/iters)
     lr_decay_iters = int(cfg.get("lr_decay_iters", -1) or -1)
@@ -321,7 +353,10 @@ def reconstruction(cfg, log=print):
             nxt = min(nxt, vis_every - (it % vis_every))
         if save_every:
             nxt = min(nxt, save_every - (it % save_every))
-        if adapt_bs:
+        if adapt_bs or adapt_budget:
+            # both controllers read telemetry on (it+1) % 16 == 0 ticks;
+            # chains must end there or the controllers go blind for long
+            # windows after misaligned schedule-event boundaries
             nxt = min(nxt, 16 - (it % 16))
         return chain_max if nxt >= chain_max else 1
 
@@ -425,10 +460,14 @@ def reconstruction(cfg, log=print):
             thin = min(float(metrics.get("thin_scale", 1.0)),
                        float(metrics.get("thin_scale_retrace", 1.0)))
             new_mult = budget_mult
+            # grow-only: thin = min(1, 0.98*budget/demand) saturates at 1,
+            # so it cannot distinguish "demand just under budget" from
+            # "budget mostly idle" — a shrink rule keyed on thin>0.98
+            # would ping-pong with the grow rule (one recompile per 16
+            # iters) whenever demand sits within ~2% of a bucket edge.
+            # Peak memory stays bounded by adapt_brdf_budget_max.
             if thin < 0.5 and budget_mult * 2 <= budget_max_mult:
                 new_mult = budget_mult * 2   # demand >2x served: grow
-            elif thin > 0.98 and budget_mult > 1:
-                new_mult = budget_mult // 2  # budget idle: shrink back
             if new_mult != budget_mult:
                 budget_mult = new_mult
                 nmf = apply_budget_mult(nmf, budget_mult)
@@ -546,16 +585,10 @@ def reconstruction(cfg, log=print):
             gt_bg = test_ds["gt_bg_im"]  # procedural scenes carry their GT
         # the tier applies to the eval copy only; the saved checkpoint and
         # any later training keep the train-time budgets
-        # final_N_vis decouples the FINAL eval's view count from the
-        # mid-train vis_every evals (N_vis): protocol rows want cheap
-        # trajectory probes but a full-test-set headline mean.txt
-        final_n = cfg.get("final_N_vis", None)
-        if final_n is None:
-            final_n = cfg.get("N_vis", -1)
         res = eval_lib.evaluate(
             eval_lib.apply_eval_tier(nmf, cfg.get("eval_tier", "train")),
             test_ds, ek, save_dir=str(logfolder / "imgs_test_all"),
-            n_vis=final_n, gt_bg=gt_bg, mesh=mesh)
+            n_vis=_final_n_vis(cfg), gt_bg=gt_bg, mesh=mesh)
         log(f"final test: {res}")
     if cfg.get("render_train", False):
         # evaluate on the training views (reference train.py:838-858)
@@ -599,12 +632,9 @@ def render_test(cfg, log=print):
     # render_only headlines honor final_N_vis exactly like reconstruction's
     # final eval (a render_only mean.txt must not silently be a
     # subsampled-view mean)
-    final_n = cfg.get("final_N_vis", None)
-    if final_n is None:
-        final_n = cfg.get("N_vis", -1)
     res = eval_lib.evaluate(nmf, test_ds, key,
                             save_dir=str(logfolder / "imgs_render"),
-                            n_vis=final_n, mesh=mesh,
+                            n_vis=_final_n_vis(cfg), mesh=mesh,
                             streaming=bool(cfg.get("stream", False)))
     log(f"render_test: {res}")
     if cfg.get("render_train", False):

@@ -70,9 +70,10 @@ def leader_starttime(pgid):
     /tmp/qv6_stage.pid can outlive its stage (queue died before cleanup);
     if the kernel recycles the pid for an unrelated idle process group,
     killpg would TERM innocents after 30 min. The leader's starttime is
-    immutable per pid incarnation, so recording it when a group is first
+    immutable per pid incarnation; recording it when a group is first
     seen and re-verifying before every signal pins the window and the
-    kill to the same incarnation."""
+    kill to one incarnation, and `pid_predates_file` rejects leaders
+    born AFTER the pidfile was written (recycled before first sight)."""
     try:
         with open(f"/proc/{pgid}/stat") as f:
             st = f.read()
@@ -80,6 +81,34 @@ def leader_starttime(pgid):
         return int(fields[19])  # starttime is stat field 22 (1-indexed)
     except (OSError, ValueError, IndexError):
         return None
+
+
+def _boot_epoch():
+    try:
+        with open("/proc/stat") as f:
+            for line in f:
+                if line.startswith("btime "):
+                    return int(line.split()[1])
+    except OSError:
+        pass
+    return None
+
+
+def pid_predates_file(starttime, pidfile=PIDFILE, slack_s=5.0):
+    """True if the leader incarnation started BEFORE the pidfile was
+    written (+slack): a legitimate stage writes its pid right after
+    spawning, so a leader born after the file's mtime is a recycled pid
+    and must never be adopted, even on the watchdog's first sight."""
+    if starttime is None:
+        return False
+    bt = _boot_epoch()
+    if bt is None:
+        return True  # can't verify; keep legacy behavior
+    try:
+        mtime = pidfile.stat().st_mtime
+    except OSError:
+        return False
+    return bt + starttime / CLK <= mtime + slack_s
 
 
 def newest_artifact_mtime():
@@ -147,8 +176,13 @@ def main():
             continue
         if pgid not in last or last[pgid][2] != start:
             # new group, or the pid was recycled since last poll:
-            # restart the observation window on this incarnation
-            last = {pgid: (now, cpu, start)}
+            # restart the observation window on this incarnation —
+            # unless the incarnation is younger than the pidfile, in
+            # which case it is a recycled pid, not our stage
+            if pid_predates_file(start):
+                last = {pgid: (now, cpu, start)}
+            else:
+                last.pop(pgid, None)
             continue
         t0, cpu0, start0 = last[pgid]
         if cpu - cpu0 >= CPU_EPS:

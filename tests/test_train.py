@@ -216,8 +216,7 @@ class TestOverfit:
         static-shape analogue of reference update_n_samples,
         microfacet.py:241-268), and the final checkpoint restores the
         configured budgets."""
-        import pickle
-
+        from nmf_tpu import ckpt as ckpt_lib
         from nmf_tpu import config as config_lib
         from nmf_tpu.train import reconstruction
 
@@ -242,12 +241,13 @@ class TestOverfit:
         nmf, _ = reconstruction(cfg, log=lambda *a, **k: logs.append(
             " ".join(str(x) for x in a)))
         assert any("brdf budget mult -> x2" in s for s in logs), logs[-5:]
-        # final checkpoint restores the configured (base) budgets
+        # final checkpoint (not just the in-memory return) restores the
+        # configured (base) budgets
         rundir = tmp_path / "synthetic_sphere_ab"
-        with open(rundir / "synthetic_sphere_ab.th", "rb") as f:
-            saved = pickle.load(f)
-        assert tuple(nmf.model.brdf_ray_budget) == (64, 32)
-        assert tuple(nmf.model.max_retrace_rays) == (16,)
+        saved_nmf, _, _ = ckpt_lib.load(rundir / "synthetic_sphere_ab.th")
+        for m in (nmf.model, saved_nmf.model):
+            assert tuple(m.brdf_ray_budget) == (64, 32)
+            assert tuple(m.max_retrace_rays) == (16,)
 
     def test_diffuse_view_encoders(self):
         """view_encoder / roughness_view_encoder knobs on the diffuse head
