@@ -64,6 +64,63 @@ class TestMesh:
 
         ge.dryrun_multichip(8)
 
+    def test_collective_audit_grad_sized(self):
+        """Collective-placement contract (mesh.py design): the sharded
+        flagship train step's ONLY cross-chip traffic is the gradient
+        all-reduce + scalar metric reductions. The optimized HLO of the
+        compiled 8-device step must show (a) an all-reduce (the grad
+        reduction exists — XLA did not silently replicate the batch),
+        (b) total collective payload ≈ param bytes, NOT batch- or
+        field-sized (a mis-propagated sharding inserts an all-gather of
+        a per-sample tensor, which this bound catches at compile time),
+        (c) no single payload larger than the biggest parameter leaf."""
+        import __graft_entry__ as ge
+        from nmf_tpu import trainer
+        from nmf_tpu.parallel import (audit_step, make_mesh,
+                                      make_parallel_train_step, param_bytes,
+                                      replicate, shard_batch)
+
+        key = jax.random.PRNGKey(0)
+        nmf, _ = ge._build_nmf(key, grid=16, bg_res=32, k_spr=16, recur_k=8,
+                               brdf_budget=(512, 128), retrace=32, proposal=8)
+        mesh = make_mesh(8)
+        tx = trainer.make_optimizer(nmf, trainer.OptimConfig(n_iters=100))
+        opt_state = tx.init(nmf)
+        step = make_parallel_train_step(tx, mesh, donate=False)
+
+        B = 256
+        rng = np.random.default_rng(0)
+        origins = np.tile(np.array([[0.0, 0.0, -4.0]], np.float32), (B, 1))
+        dirs = rng.normal(size=(B, 3)).astype(np.float32)
+        dirs[:, 2] = np.abs(dirs[:, 2]) + 1.0
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        rays, rgbs = shard_batch(
+            mesh, jnp.asarray(np.concatenate([origins, dirs], -1)),
+            jnp.asarray(rng.uniform(size=(B, 3)).astype(np.float32)))
+        args = (replicate(mesh, nmf), replicate(mesh, opt_state), rays, rgbs,
+                replicate(mesh, jnp.ones(3)), key, trainer.LossWeights())
+
+        audit = audit_step(step, *args)
+        pbytes = param_bytes(nmf)
+        assert audit["per_op"]["all-reduce"]["count"] >= 1, audit
+        # XLA may all-reduce grad-DERIVED tensors (Adam's m/v update inputs)
+        # instead of raw grads once — ~3x minimal traffic, still O(params)
+        # (recorded in runs/collective_audit.json); the bound only needs to
+        # catch batch- or field-sized leaks, which are 10-1000x params
+        assert audit["total_bytes"] <= 5 * pbytes + 65536, (
+            f"collective traffic {audit['total_bytes']} >> param bytes "
+            f"{pbytes}: a batch- or field-sized tensor is being "
+            f"gathered/reduced — {audit['largest']}")
+        # no gather-class collectives: with rays sharded and params
+        # replicated there is nothing to all-gather — their presence means
+        # a sharding mis-propagated and per-sample data crosses chips
+        # (XLA fuses grad leaves into tuple all-reduces, so per-payload
+        # size is not bounded by the largest leaf; the op-kind split is)
+        # (replicated-out metrics legitimately gather a few bytes per ray)
+        gather_bytes = (audit["per_op"]["all-gather"]["bytes"]
+                        + audit["per_op"]["all-to-all"]["bytes"])
+        assert gather_bytes <= 256 * B + 16384, audit["per_op"]
+
 
 class TestParallelRender:
     def test_sharded_eval_matches_single(self):
