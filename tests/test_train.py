@@ -717,9 +717,21 @@ class TestParamsGroup:
                 "model=microfacet_tensorf2", "dataset=synthetic_sphere",
                 f"params={name}"])
             assert cfg["params_preset"] == name
-            # every preset pins the reference L1 schedule
+            # every reference-mirror preset pins the reference L1 schedule
             assert cfg["model"]["params"]["L1_weight_initial"] == 8e-5
             assert cfg["model"]["params"]["L1_weight_rest"] == 4e-5
+
+    def test_quality_preset(self):
+        """params=quality bundles the round-4 headline recipe (the +11 dB
+        floater-halo fix, BASELINE.md 'LR restart' note)."""
+        cfg = config_lib.compose([
+            "model=microfacet_tensorf2", "dataset=synthetic_sphere",
+            "params=quality"])
+        assert cfg["model"]["params"]["distortion_lambda"] == 1e-3
+        assert cfg["model"]["params"]["lr_upsample_reset"] is False
+        assert cfg["field"]["fixed_shape"] is True
+        # grafted copy the builders actually read
+        assert cfg["model"]["arch"]["rf"]["fixed_shape"] is True
 
     def test_reflective_maps_live_keys(self):
         cfg = config_lib.compose([
