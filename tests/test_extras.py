@@ -945,6 +945,69 @@ class TestRealLoaders:
         center_dir = ds["all_rays"].reshape(h, w, 6)[h // 2, w // 2, 3:]
         assert center_dir[0] < 0 and center_dir[1] < 0
 
+    def test_llff(self, tmp_path):
+        """load_llff against a synthesized poses_bounds.npy + images/ scene
+        (reference dataLoader/llff.py:171-268 layout: (N,17) rows of
+        3x5 [pose | (H W focal)] + [near far], down-right-back axes)."""
+        from nmf_tpu.data.llff import load_llff
+
+        rng = np.random.default_rng(3)
+        N, H0, W0, f0 = 9, 120, 160, 100.0
+        poses = np.zeros((N, 3, 5))
+        for i in range(N):
+            # camera ring looking at origin, LLFF (down, right, back) axes
+            ang = 0.3 * (i - N / 2) / N
+            c, s = np.cos(ang), np.sin(ang)
+            right = np.array([c, 0, -s])
+            up = np.array([0.0, 1.0, 0.0])
+            back = np.array([s, 0, c])
+            pos = back * 4.0
+            # columns: x=down, y=right, z=back (llff convention)
+            poses[i, :, 0] = -up
+            poses[i, :, 1] = right
+            poses[i, :, 2] = back
+            poses[i, :, 3] = pos
+        poses[:, 0, 4] = H0
+        poses[:, 1, 4] = W0
+        poses[:, 2, 4] = f0
+        pb = np.concatenate(
+            [poses.reshape(N, 15),
+             np.tile(np.array([[2.0, 8.0]]), (N, 1))], -1)
+        np.save(tmp_path / "poses_bounds.npy", pb)
+        (tmp_path / "images").mkdir()
+        for i in range(N):
+            self._write_img(tmp_path / "images" / f"{i:03d}.png", W0, H0)
+
+        down = 4.0
+        w, h = int(W0 / down), int(H0 / down)
+        tr = load_llff(tmp_path, split="train", downsample=down,
+                       hold_every=8)
+        te = load_llff(tmp_path, split="test", downsample=down,
+                       hold_every=8)
+        # hold_every=8 on 9 poses -> test views {0, 8}, train the other 7
+        assert te["all_rays"].shape == (2 * w * h, 6)
+        assert tr["all_rays"].shape == (7 * w * h, 6)
+        assert tr["all_rgbs"].shape == (7 * w * h, 3)
+        assert tr["img_wh"] == (w, h)
+        assert abs(tr["focal"] - f0 / down) < 1e-6
+        # NDC protocol: unit cube depth range, rays finite
+        assert tr["near_far"] == (0.0, 1.0) and tr["ndc_ray"]
+        assert np.all(np.isfinite(tr["all_rays"]))
+        # NDC origins live in the unit view frustum slab (|x|,|y| ~<= 1,
+        # z in [-1, 1) up to boundary pixels)
+        o = tr["all_rays"][:, :3]
+        assert np.abs(o[:, 2]).max() <= 1.0 + 1e-5
+        # metric (non-NDC) mode: near/far rescaled so min(near)*0.75 = 1
+        m = load_llff(tmp_path, split="train", downsample=down,
+                      hold_every=8, ndc_ray=False)
+        assert abs(m["near_far"][0] - 1 / 0.75) < 1e-6
+        # metric-mode dirs keep the pinhole z=-1 scaling (NOT normalized —
+        # TensoRF/reference convention): norms run 1 .. sqrt(1+(w/2f)^2+(h/2f)^2)
+        d = np.linalg.norm(m["all_rays"][:, 3:], axis=-1)
+        corner = np.sqrt(1 + (w / 2 / (f0 / down)) ** 2
+                         + (h / 2 / (f0 / down)) ** 2)
+        assert 0.99 <= d.min() and d.max() <= corner + 1e-3
+
 
 class TestExrAndVideo:
     def test_exr_roundtrip_all_modes(self, tmp_path):
