@@ -16,6 +16,7 @@ iters), so 4000 rays/s is the A100 reference point for the ratio.
 Run `python bench.py quick` to bench only the flagship config.
 """
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -293,7 +294,42 @@ def _tpu_alive(timeout_s=300) -> bool:
         return False
 
 
+def _chip_contended():
+    """True when a TPU work-queue stage currently holds the chip.
+
+    The axon tunnel serializes programs from concurrent processes, so a
+    bench taken while a queue stage trains measures contention, not the
+    framework — and would overwrite BENCH_LAST's clean number with a low
+    one. Stage leaders record their pid in /tmp/qv6_stage.pid (see
+    runs/tpu_queue_*.sh run_pg)."""
+    import glob
+
+    for f in glob.glob("/tmp/qv6_stage.pid"):
+        try:
+            pid = int(Path(f).read_text().strip())
+            os.kill(pid, 0)
+            return True
+        except (OSError, ValueError):
+            continue
+    return False
+
+
 if __name__ == "__main__":
+    if _chip_contended() and LAST_PATH.exists():
+        # A queue stage holds the chip: a fresh measurement would be
+        # contention noise. Emit the last clean measurement, marked.
+        try:
+            rec = json.loads(LAST_PATH.read_text())
+            rec["stale"] = True
+            rec.setdefault("extra", {})["stale_note"] = (
+                "a TPU queue stage held the chip at snapshot time; this is "
+                f"the last uncontended measurement "
+                f"({rec.get('measured_at', 'unknown time')}), persisted by "
+                "bench.py in BENCH_LAST.json")
+            print(json.dumps(rec))
+            sys.exit(0)
+        except (OSError, ValueError):
+            pass
     if not _tpu_alive():
         # Honest degraded mode: the driver still gets a record instead of a
         # hang/crash. If a previous invocation measured successfully, emit
