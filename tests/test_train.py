@@ -732,6 +732,9 @@ class TestParamsGroup:
         assert cfg["field"]["fixed_shape"] is True
         # grafted copy the builders actually read
         assert cfg["model"]["arch"]["rf"]["fixed_shape"] is True
+        # round-4 thinning-curve result: x2 bounce budgets (BASELINE.md
+        # "thinning cost curve"; +3.7 dB over the x1 default at 8k)
+        assert cfg["model"]["arch"]["model"]["brdf_ray_budget"] == [131072, 32768]
 
     def test_reflective_maps_live_keys(self):
         cfg = config_lib.compose([
