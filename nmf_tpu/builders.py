@@ -397,7 +397,8 @@ def build_nmf(key, arch_cfg: Dict, aabb, near_far, grid_size=None) -> NMF:
                "orient_world_normals", "geonorm_iters",
                "geonorm_interp_iters", "eval_batch_size", "lr_scale",
                "max_samples_per_ray", "recur_samples_per_ray", "use_pallas",
-               "app_samples_per_ray", "proposal_samples_per_ray",
+               "app_samples_per_ray", "merge_runs",
+               "proposal_samples_per_ray",
                "recur_proposal_samples_per_ray", "proposal_pad",
                "proposal_pad_init", "proposal_pad_iters"}
     top = {k: v for k, v in arch_cfg.items() if k in allowed}

@@ -57,6 +57,11 @@ class NMF:
     use_pallas: bool = struct.field(pytree_node=False, default=False)
     # shade only the top-K' samples by transmittance weight (-1 = all)
     app_samples_per_ray: int = struct.field(pytree_node=False, default=-1)
+    # run-collapsed shading (ops/runs.py): merge consecutive same-cell
+    # samples into <= merge_runs per-ray slots before the appearance +
+    # shading stage (0 = off). Density/transmittance keep the full budget;
+    # only shading quadrature is coarsened. Primary pass only.
+    merge_runs: int = struct.field(pytree_node=False, default=0)
     # proposal resampling: run a stop-gradient density pass over the full
     # (B, K) budget, then place this many weight-proportional fine samples
     # and run the differentiable field + shading on those only (-1 = off).
@@ -186,13 +191,15 @@ def render(nmf: NMF, rays, key, focal=1.0, is_train=False, bg_col=(1.0, 1.0, 1.0
 
     needs_normals = nmf.model.needs_normals(recur)
     app_k = nmf.app_samples_per_ray if recur == 0 else -1
-    two_stage = 0 < app_k < K
+    merge_k = nmf.merge_runs if recur == 0 else 0
+    merge = 0 < merge_k < K and hasattr(nmf.rf, "grid_size")
+    two_stage = 0 < app_k < K and not merge
     fused = (hasattr(nmf.rf, "compute_all")
              and (not needs_normals
                   or getattr(nmf.rf, "fused_normals_ok", False)))
 
     # ---- stage 1: density + transmittance over the full (B, K) budget ----
-    if fused and not two_stage:
+    if fused and not two_stage and not merge:
         sigma_f, app_features, world_normal = nmf.rf.compute_all(
             xyz.reshape(-1, 4), with_normals=needs_normals)
         sigma = sigma_f.reshape(B, K)
@@ -216,6 +223,10 @@ def render(nmf: NMF, rays, key, focal=1.0, is_train=False, bg_col=(1.0, 1.0, 1.0
         weight = jax.lax.stop_gradient(weight)
     # opacity always integrates the full sample budget
     acc_map = weight.sum(axis=1)
+    # full-budget quadrature (kept when merge_runs/two_stage coarsen the
+    # shading set: the distortion loss and the adaptive-batch sample
+    # telemetry must see the real per-sample weights)
+    z_full, d_full, w_full, valid_full = z_vals, dists, weight, valid
 
     # ---- stage 2 (optional): shade only the top-K' samples by weight.
     # The transmittance tail carries negligible radiance; the expensive
@@ -230,6 +241,24 @@ def render(nmf: NMF, rays, key, focal=1.0, is_train=False, bg_col=(1.0, 1.0, 1.0
         valid = jnp.take_along_axis(valid, idx2, axis=1) & (topw > 0)
         weight = topw
         K = app_k
+
+    # ---- run-collapsed shading (ops/runs.py): collapse consecutive
+    # same-cell samples into <= merge_runs weight-ranked slots. At a
+    # converged field ~11 consecutive fine samples share each grid cell
+    # (runs/cell_multiplicity_probe.py), gathering identical factor rows;
+    # shading once per run cuts the appearance gathers/scatters, shading
+    # MLP evals, and bounce allocation by the multiplicity while density
+    # integration above keeps the full budget. ----
+    if merge:
+        from .ops.runs import cell_indices, merge_sample_runs
+
+        cells = cell_indices(nmf.rf, xyz)
+        z_m, d_m, w_m, v_m = merge_sample_runs(
+            cells, z_vals, dists, weight, valid, merge_k)
+        pts = rays[:, None, 0:3] + rays[:, None, 3:6] * z_m[..., None]
+        xyz = jnp.concatenate([pts, z_m[..., None] / focal], axis=-1)
+        z_vals, dists, valid, weight = z_m, d_m, v_m, w_m
+        K = merge_k
 
     xyz_flat = xyz.reshape(-1, 4)
     valid_flat = valid.reshape(-1)
@@ -360,10 +389,10 @@ def render(nmf: NMF, rays, key, focal=1.0, is_train=False, bg_col=(1.0, 1.0, 1.0
             stats["diffuse_reg"] = jnp.zeros(())
         from .ops.losses import distortion_loss
 
-        stats["distortion_loss"] = distortion_loss(z_vals, weight, dists)
+        stats["distortion_loss"] = distortion_loss(z_full, w_full, d_full)
         stats["visibility_loss"] = (vis_loss if vis_loss is not None
                                     else jnp.zeros(()))
-        stats["n_valid_samples"] = valid.sum()
+        stats["n_valid_samples"] = valid_full.sum()
 
     # ---- debug maps (eval only) ----
     if draw_debug:
