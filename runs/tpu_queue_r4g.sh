@@ -3,18 +3,19 @@
 # 27.99 control (+3.66 dB): the x1 bounce budgets' thinning (0.62 L0)
 # was the single largest known quality tax. Re-ordered remainder for a
 # ~4 h session:
-#   1. shgrad_studio8k   (~90 min; VERDICT next #4 envmap A/B — both
-#                         controls landed: thin_base8k 12.83 /
-#                         thin_budget2x8k 11.37 envmap_psnr_top)
-#   2. b2x_tier_high     (~15 min; tier_high eval of the fresh 31.65 dB
-#                         thin_budget2x8k ckpt BEFORE the inter-session
-#                         wipe deletes it; N_vis=20 matches the arm's
-#                         final eval views for a direct comparison)
-#   3. b2x_trace         (~5 min; per-op trace at the x2-budget config —
-#                         the config round 5 will actually ship)
-#   4. thin_b2r4_8k      (~95 min; budget x2 + retrace x4 combo — the
-#                         round-5 30k headline recipe candidate)
-#   5+ best-effort: thin_retrace4x8k, thin_adapt8k, shiny shgrad pair,
+#   1. shgrad_studio8k  (VERDICT next #4 envmap A/B; usually already
+#                        landed by qr4f before the STOP — idempotent)
+#   2. thin_b2r4_8k     (~95 min; budget x2 + retrace x4 combo — the
+#                        round-5 30k headline recipe candidate. The long
+#                        stage runs before the short evals so a
+#                        session-end cutoff hits the evals, not the arm)
+#   3. b2x_tier_high    (~20 min; tier_high eval of the fresh 31.65 dB
+#                        thin_budget2x8k ckpt before the inter-session
+#                        wipe deletes it; N_vis=20 matches its final)
+#   4. b2x_trace        (~5 min; per-op trace at the x2-budget config)
+#   5. merge_ab         (~30 min; run-collapsed shading step-time A/B)
+#   6. merge16_8k       (~90 min; run-collapsed shading quality arm)
+#   7+ best-effort: thin_retrace4x8k, thin_adapt8k, shiny shgrad pair,
 #      bscale, opt-in arms, tensorf studio row.
 cd /root/repo
 QPREFIX=qr4g
@@ -176,26 +177,37 @@ rm -f "$STOPF"
 echo "$QPREFIX: old chain drained, starting $(date)" >> "$Q"
 
 # --- 1. sh_grad envmap A/B on the headline scene (VERDICT next #4) -------------
+# (usually already landed by qr4f before the STOP; idempotent skip)
 run_stage shgrad_studio8k runs/synthetic_studio_shgrad_studio8k 10 3 \
   arm8ks shgrad_studio8k model.arch.bg_module.sh_grad=True
 
-# --- 2. tier_high eval of the fresh 31.65 dB x2-budget ckpt (wiped at session end)
+# --- 2. budget x2 + retrace x4 combo: the round-5 headline recipe candidate ----
+# (the long stage runs FIRST so a session-end cutoff hits the short evals,
+#  not the arm)
+run_stage thin_b2r4_8k runs/synthetic_studio_thin_b2r4_8k 10 3 \
+  arm8ks thin_b2r4_8k "model.arch.model.brdf_ray_budget=[131072,32768]" \
+  "model.arch.model.max_retrace_rays=[4096]"
+
+# --- 3. tier_high eval of the fresh 31.65 dB x2-budget ckpt (wiped at session end)
 eval_stage b2x_tier_high \
   runs/synthetic_studio_thin_budget2x8k/synthetic_studio_thin_budget2x8k.th \
   runs/synthetic_studio_b2x_tier_high b2x_tier_high high \
   dataset=synthetic_studio dataset.hemisphere=true dataset.n_views=100 \
   dataset.image_size=400 N_vis=20
 
-# --- 3. per-op trace at the x2-budget config (round-5 kernel program input) ----
+# --- 4. per-op trace at the x2-budget config (round-5 kernel program input) ----
 plain_stage b2x_trace 2 bash -c \
   'timeout 2400 python runs/run_trace.py "model.arch.model.brdf_ray_budget=[131072,32768]" >> runs/trace_b2x.log 2>&1'
 
-# --- 4. budget x2 + retrace x4 combo: the round-5 headline recipe candidate ----
-run_stage thin_b2r4_8k runs/synthetic_studio_thin_b2r4_8k 10 3 \
-  arm8ks thin_b2r4_8k "model.arch.model.brdf_ray_budget=[131072,32768]" \
-  "model.arch.model.max_retrace_rays=[4096]"
+# --- 5. run-collapsed shading perf A/B (merge_runs; ops/runs.py) ----------------
+plain_stage merge_ab 2 bash -c \
+  'timeout 4800 python runs/run_merge_ab.py >> runs/merge_ab.log 2>&1'
 
-# --- 5. remaining thinning-curve arms -------------------------------------------
+# --- 6. run-collapsed shading quality arm (vs thin_base8k control) ---------------
+run_stage merge16_8k runs/synthetic_studio_merge16_8k 10 3 \
+  arm8ks merge16_8k model.arch.merge_runs=16
+
+# --- 7. remaining thinning-curve arms -------------------------------------------
 run_stage thin_retrace4x8k runs/synthetic_studio_thin_retrace4x8k 10 3 \
   arm8ks thin_retrace4x8k "model.arch.model.max_retrace_rays=[4096]"
 run_stage thin_adapt8k runs/synthetic_studio_thin_adapt8k 10 3 \
