@@ -306,10 +306,17 @@ def _chip_contended():
 
     for f in glob.glob("/tmp/qv6_stage.pid"):
         try:
+            # age out stale pid files (longest stage timeout is 3 h): a
+            # recycled pid must not make bench emit stale records forever
+            if time.time() - os.path.getmtime(f) > 4 * 3600:
+                continue
             pid = int(Path(f).read_text().strip())
             os.kill(pid, 0)
             return True
-        except (OSError, ValueError):
+        except PermissionError:
+            # pid exists but is unsignalable (another uid): still alive
+            return True
+        except (ProcessLookupError, ValueError, OSError):
             continue
     return False
 

@@ -193,6 +193,14 @@ def render(nmf: NMF, rays, key, focal=1.0, is_train=False, bg_col=(1.0, 1.0, 1.0
     app_k = nmf.app_samples_per_ray if recur == 0 else -1
     merge_k = nmf.merge_runs if recur == 0 else 0
     merge = 0 < merge_k < K and hasattr(nmf.rf, "grid_size")
+    if merge and 0 < app_k < K:
+        import warnings
+
+        warnings.warn(
+            "merge_runs takes precedence over app_samples_per_ray: the "
+            "two-stage top-K shading stage is disabled while run-collapsed "
+            "shading is active (both coarsen the same shading set)",
+            stacklevel=2)
     two_stage = 0 < app_k < K and not merge
     fused = (hasattr(nmf.rf, "compute_all")
              and (not needs_normals
@@ -255,6 +263,15 @@ def render(nmf: NMF, rays, key, focal=1.0, is_train=False, bg_col=(1.0, 1.0, 1.0
         cells = cell_indices(nmf.rf, xyz)
         z_m, d_m, w_m, v_m = merge_sample_runs(
             cells, z_vals, dists, weight, valid, merge_k)
+        # Merged positions z_m = WZ/W are differentiable in weight (hence
+        # density params), which would re-open the primary-position
+        # gradient path the recur==0 stop_gradient above exists to close
+        # (~28 ms/step of backward scatters). Positions are a quadrature
+        # choice, not part of the estimator the reference differentiates
+        # (models/microfacet.py:271-333 shades at fixed sample positions):
+        # stop them. Run weights w_m keep their gradient to density.
+        z_m = jax.lax.stop_gradient(z_m)
+        d_m = jax.lax.stop_gradient(d_m)
         pts = rays[:, None, 0:3] + rays[:, None, 3:6] * z_m[..., None]
         xyz = jnp.concatenate([pts, z_m[..., None] / focal], axis=-1)
         z_vals, dists, valid, weight = z_m, d_m, v_m, w_m

@@ -202,11 +202,19 @@ class TestRenderMerge:
 
     def test_rgb_close_on_smooth_field(self):
         """A randomly-initialized smooth field: run-collapsed rgb within a
-        loose tolerance of the exact per-sample render."""
+        loose tolerance of the exact per-sample render.
+
+        merge_runs=32 < K=48 so the merge branch actually engages
+        (render.py gates on merge_k < K); on the coarse test grid the
+        per-ray run count stays well under 32, so every run keeps a slot
+        and only the within-run collapse is being tested."""
         _, _, ims0, _ = self._render(merge_runs=0)
-        _, _, ims1, _ = self._render(merge_runs=48)  # slots cover all runs
+        _, _, ims1, _ = self._render(merge_runs=32)
         a = np.asarray(ims0["rgb_map"])
         b = np.asarray(ims1["rgb_map"])
+        # the merge branch engaged: the collapsed render is a different
+        # quadrature, not a bit-identical replay of the exact one
+        assert np.abs(a - b).max() > 0
         assert np.abs(a - b).max() < 0.15
         assert np.abs(a - b).mean() < 0.02
 
