@@ -39,7 +39,14 @@ _enable_compile_cache()
 # ASSUMED, not measured: the reference publishes no throughput numbers
 # (BASELINE.md). Every vs_baseline ratio derived from this constant carries
 # its error bars; the emitted JSON marks this with "baseline_assumed": true.
+# Round-5 calibration (BASELINE.md "anchor calibration"): the workload
+# arithmetic (launch-overhead floor of the reference's ~2000-op eager-torch
+# step graph + the memory-bound gather/scatter work of 2e5 primary + up to
+# 1e6 bounce samples/step) bounds an A100 at roughly 1-8 it/s, i.e.
+# 4k-33k rays/s at batch 4096. vs_baseline keeps the long-standing
+# pessimistic-for-us 4k anchor; the emitted band carries the range.
 REFERENCE_A100_RAYS_PER_SEC = 4000.0
+REFERENCE_A100_BAND = (4000.0, 12000.0, 33000.0)  # (pessim, central, optim)
 
 # last successful measurement, emitted stale-marked when the tunnel is down
 LAST_PATH = Path(__file__).parent / "BENCH_LAST.json"
@@ -261,6 +268,12 @@ def bench_all(quick=False):
         "baseline_note": f"reference publishes no throughput; "
                          f"{REFERENCE_A100_RAYS_PER_SEC:.0f} rays/s A100 is "
                          f"an assumption (BASELINE.md)",
+        "vs_baseline_band": {
+            "anchors_rays_per_sec": list(REFERENCE_A100_BAND),
+            "ratios": [round(flagship / a, 2) for a in REFERENCE_A100_BAND],
+            "note": "pessimistic/central/optimistic A100 anchors from the "
+                    "BASELINE.md round-5 calibration arithmetic",
+        },
         "extra": results,
     }
     # persist the measurement so a dead tunnel at a later snapshot can
