@@ -23,6 +23,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+TINY = os.environ.get("NMF_AB_TINY", "0") == "1"  # CPU smoke mode
+
 BASE = [
     "model=microfacet_tensorf2",
     "model.arch.max_samples_per_ray=128",
@@ -31,6 +33,14 @@ BASE = [
     "model.arch.model.brdf_ray_budget=[32768,8192]",
     "model.arch.model.max_retrace_rays=[1024]",
     "model.arch.bg_module.bg_resolution=512",
+] if not TINY else [
+    "model=microfacet_tensorf2",
+    "model.arch.max_samples_per_ray=32",
+    "model.arch.recur_samples_per_ray=8",
+    "model.arch.proposal_samples_per_ray=24",
+    "model.arch.model.brdf_ray_budget=[2048,512]",
+    "model.arch.model.max_retrace_rays=[256]",
+    "model.arch.bg_module.bg_resolution=64",
 ]
 
 
@@ -42,8 +52,13 @@ def measure():
     import bench
 
     merge = int(os.environ.get("NMF_AB_MERGE", "0"))
-    nmf = bench._build(BASE + [f"model.arch.merge_runs={merge}"])
-    rps, step_s, _ = bench._time_train_step(nmf, B=4096, n_iters=20)
+    if TINY and merge:
+        merge = 8  # < fine sample count so the branch engages at tiny K
+    grid = 32 if TINY else 128
+    nmf = bench._build(BASE + [f"model.arch.merge_runs={merge}"], grid=grid)
+    B = 256 if TINY else 4096
+    rps, step_s, _ = bench._time_train_step(nmf, B=B,
+                                            n_iters=2 if TINY else 20)
     return {"rowmajor": os.environ.get("NMF_QUAD_ROWMAJOR", "0"),
             "merge_runs": merge,
             "step_ms": round(step_s * 1e3, 2),
