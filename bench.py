@@ -29,6 +29,12 @@ import numpy as np
 def _enable_compile_cache():
     import jax
 
+    # NMF_PLATFORM=cpu forces the CPU backend (same contract as train.py):
+    # lets the A/B runners smoke-test at tiny shapes without touching —
+    # or contending with — the tunneled TPU.
+    plat = os.environ.get("NMF_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     jax.config.update("jax_compilation_cache_dir",
                       str(Path(__file__).parent / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
