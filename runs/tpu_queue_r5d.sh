@@ -16,15 +16,15 @@
 #   9. trace_r5 + fresh in-queue bench, then STOP + drain so the driver's
 #      end-of-round bench measures an idle chip (VERDICT next-#4).
 cd /root/repo
-QPREFIX=qr5c
+QPREFIX=qr5d
 Q=runs/tpu_queue.log
 STOPF=runs/QUEUE_STOP
 source runs/verify_run.sh
-echo $$ > /tmp/qr5c.pid
+echo $$ > /tmp/qr5d.pid
 
 # no NEW long stage after LONG_DL; no new stage at all after ALL_DL
-LONG_DL=$(date -d '2026-08-20 19:45 UTC' +%s)
-ALL_DL=$(date -d '2026-08-20 21:30 UTC' +%s)
+LONG_DL=$(date -d '2026-08-20 20:10 UTC' +%s)
+ALL_DL=$(date -d '2026-08-20 21:45 UTC' +%s)
 past() { [ "$(date +%s)" -ge "$1" ]; }
 
 check_stop() {
@@ -212,6 +212,13 @@ long_stage merge16b2_8k runs/synthetic_studio_merge16b2_8k 10 3 \
   arm8ks merge16b2_8k "model.arch.model.brdf_ray_budget=[131072,32768]" \
   model.arch.merge_runs=16
 
+# --- 3b. sh_grad x (x2 budgets) combo: round-4 shgrad arm improved EVERY
+#         view (+2.27 dB, norm-err -8.3deg) at x1 budgets; this measures
+#         additivity with the shipped preset (control: thin_budget2x8k 31.65)
+long_stage shgradb2_8k runs/synthetic_studio_shgradb2_8k 10 3 \
+  arm8ks shgradb2_8k "model.arch.model.brdf_ray_budget=[131072,32768]" \
+  model.arch.bg_module.sh_grad=True
+
 # --- 4. first refnerf quality row (VERDICT weak #7) --------------------------
 long_stage refnerf_studio8k runs/synthetic_studio_refnerf_studio8k 10 3 \
   arm8ks_model refnerf refnerf_studio8k
@@ -245,4 +252,4 @@ plain_stage trace_r5 2 bash -c \
 plain_stage bench_r5 2 bash -c \
   'timeout 1800 python bench.py > runs/bench_r5_inqueue.json 2>runs/bench_r5_inqueue.err'
 
-echo "QR5C DONE — chip drained $(date)" >> "$Q"
+echo "QR5D DONE — chip drained $(date)" >> "$Q"
