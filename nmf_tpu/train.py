@@ -559,11 +559,19 @@ def reconstruction(cfg, log=print):
             f"resume=True continues")
         return nmf, {}
 
+    # The final evals must serve the budgets the field was TRAINED to
+    # expect: a run the controller grew to x4 bounce rays evaluated at x1
+    # is pure MC starvation (measured −9 dB test on the thin_adapt8k arm
+    # — the same mechanism as the round-3 eval-starvation bug, reached
+    # through the budget reset instead of chunk ordering). The SAVED
+    # checkpoint still carries the configured base budgets (portability:
+    # a ckpt consumer composes its own eval_tier; render_test scales
+    # explicitly), but the in-process final eval keeps budget_mult.
+    eval_nmf = nmf
     if adapt_budget and budget_mult != 1:
-        # train-time adaptivity only (like the reference's
-        # update_n_samples): the shipped checkpoint and the final eval
-        # carry the configured budgets; eval_tier scales them explicitly
         nmf = apply_budget_mult(nmf, 1)
+        log(f"final eval at trained budgets (x{budget_mult}); "
+            f"checkpoint saved at configured budgets")
     ckpt_lib.save(logfolder / f"{expname}.th", nmf, cfg)
 
     res = {}
@@ -583,10 +591,11 @@ def reconstruction(cfg, log=print):
             gt_bg = imread_any(gt_bg_path)
         elif test_ds.get("gt_bg_im") is not None:
             gt_bg = test_ds["gt_bg_im"]  # procedural scenes carry their GT
-        # the tier applies to the eval copy only; the saved checkpoint and
-        # any later training keep the train-time budgets
+        # the tier applies to the eval copy only (on top of the trained
+        # budgets); the saved checkpoint keeps the configured base budgets
         res = eval_lib.evaluate(
-            eval_lib.apply_eval_tier(nmf, cfg.get("eval_tier", "train")),
+            eval_lib.apply_eval_tier(eval_nmf, cfg.get("eval_tier",
+                                                       "train")),
             test_ds, ek, save_dir=str(logfolder / "imgs_test_all"),
             n_vis=_final_n_vis(cfg), gt_bg=gt_bg, mesh=mesh)
         log(f"final test: {res}")
@@ -594,7 +603,8 @@ def reconstruction(cfg, log=print):
         # evaluate on the training views (reference train.py:838-858)
         key, tk = jax.random.split(key)
         res_tr = eval_lib.evaluate(
-            nmf, train_ds, tk, save_dir=str(logfolder / "imgs_train_all"),
+            eval_nmf, train_ds, tk,
+            save_dir=str(logfolder / "imgs_train_all"),
             n_vis=cfg.get("N_vis", -1), mesh=mesh)
         log(f"train-split eval: {res_tr}")
     if cfg.get("render_path", False):

@@ -249,6 +249,56 @@ class TestOverfit:
             assert tuple(m.brdf_ray_budget) == (64, 32)
             assert tuple(m.max_retrace_rays) == (16,)
 
+    def test_adaptive_budget_final_eval_serves_trained_budgets(
+            self, tmp_path, monkeypatch):
+        """Regression pin for the thin_adapt8k −9 dB train/test gap
+        (round 5): after the controller grows budgets, the FINAL eval
+        must serve the budgets the field trained with — evaluating a
+        x2-grown field at the configured x1 budgets is pure MC
+        starvation (the round-3 eval-starvation mechanism reached
+        through the budget reset). The checkpoint still saves base
+        budgets (portability; eval_tier scales explicitly)."""
+        from nmf_tpu import ckpt as ckpt_lib
+        from nmf_tpu import config as config_lib
+        from nmf_tpu import train as train_mod
+        from nmf_tpu.train import reconstruction
+
+        seen = []
+        real_eval = train_mod.eval_lib.evaluate
+
+        def spy_eval(nmf, *a, **k):
+            seen.append((tuple(nmf.model.brdf_ray_budget),
+                         tuple(nmf.model.max_retrace_rays)))
+            return real_eval(nmf, *a, **k)
+
+        monkeypatch.setattr(train_mod.eval_lib, "evaluate", spy_eval)
+        cfg = config_lib.compose([
+            "model=microfacet_tensorf2", "dataset=synthetic_sphere",
+            "dataset.image_size=24", "dataset.n_views=2",
+            "model.params.batch_size=256", "model.params.n_iters=20",
+            "model.params.adapt_brdf_budget=true",
+            "model.params.adapt_brdf_budget_max=2",
+            "field.N_voxel_init=4096", "field.N_voxel_final=4096",
+            "field.upsamp_list=[]", "model.arch.sampler.update_list=[]",
+            "model.arch.max_samples_per_ray=16",
+            "model.arch.recur_samples_per_ray=8",
+            "model.arch.model.brdf_ray_budget=[64,32]",
+            "model.arch.model.max_retrace_rays=[16]",
+            "vis_every=0", "N_vis=1", "render_test=True",
+            f"basedir={tmp_path}", "expname=abe", "chain_steps=2",
+            "progress_refresh_rate=16", "save_every=0",
+        ])
+        logs = []
+        reconstruction(cfg, log=lambda *a, **k: logs.append(
+            " ".join(str(x) for x in a)))
+        assert any("brdf budget mult -> x2" in s for s in logs), logs[-5:]
+        # the final eval saw the GROWN budgets...
+        assert seen and seen[-1] == ((128, 64), (32,)), seen
+        # ...while the checkpoint keeps the configured base budgets
+        rundir = tmp_path / "synthetic_sphere_abe"
+        saved_nmf, _, _ = ckpt_lib.load(rundir / "synthetic_sphere_abe.th")
+        assert tuple(saved_nmf.model.brdf_ray_budget) == (64, 32)
+
     def test_diffuse_view_encoders(self):
         """view_encoder / roughness_view_encoder knobs on the diffuse head
         (reference render_modules.py:493-557, NULL in shipped configs) build
