@@ -577,20 +577,7 @@ def reconstruction(cfg, log=print):
     res = {}
     if cfg.get("render_test", True):
         key, ek = jax.random.split(key)
-        # dataset yaml gt_bg resolves under backgrounds/ (reference
-        # train.py:489-493); top-level gt_bg= is an absolute override
-        gt_bg_path = cfg.get("gt_bg")
-        if cfg["dataset"].get("gt_bg"):
-            ds_bg = Path(datadir) / "backgrounds" / cfg["dataset"]["gt_bg"]
-            if ds_bg.exists():
-                gt_bg_path = str(ds_bg)
-        gt_bg = None
-        if gt_bg_path:
-            from .data.exr import imread_any
-
-            gt_bg = imread_any(gt_bg_path)
-        elif test_ds.get("gt_bg_im") is not None:
-            gt_bg = test_ds["gt_bg_im"]  # procedural scenes carry their GT
+        gt_bg = _resolve_gt_bg(cfg, datadir, test_ds)
         # the tier applies to the eval copy only (on top of the trained
         # budgets); the saved checkpoint keeps the configured base budgets
         res = eval_lib.evaluate(
@@ -614,6 +601,27 @@ def reconstruction(cfg, log=print):
                              save_dir=str(logfolder / "imgs_path"))
         log("render_path done")
     return nmf, res
+
+
+def _resolve_gt_bg(cfg, datadir, test_ds):
+    """GT background panorama for the envmap-recovery metrics, resolved
+    identically for the in-train final eval and the render_only path:
+    dataset yaml gt_bg under backgrounds/ (reference train.py:489-493),
+    top-level gt_bg= absolute override, or the procedural scene's own
+    gt_bg_im. (Round-5 fix: render_only previously skipped this, so
+    render_only stats rows silently lacked the envmap metric family.)"""
+    gt_bg_path = cfg.get("gt_bg")
+    if cfg["dataset"].get("gt_bg"):
+        ds_bg = Path(datadir) / "backgrounds" / cfg["dataset"]["gt_bg"]
+        if ds_bg.exists():
+            gt_bg_path = str(ds_bg)
+    if gt_bg_path:
+        from .data.exr import imread_any
+
+        return imread_any(gt_bg_path)
+    if test_ds.get("gt_bg_im") is not None:
+        return test_ds["gt_bg_im"]  # procedural scenes carry their GT
+    return None
 
 
 def render_test(cfg, log=print):
@@ -645,6 +653,7 @@ def render_test(cfg, log=print):
     res = eval_lib.evaluate(nmf, test_ds, key,
                             save_dir=str(logfolder / "imgs_render"),
                             n_vis=_final_n_vis(cfg), mesh=mesh,
+                            gt_bg=_resolve_gt_bg(cfg, datadir, test_ds),
                             streaming=bool(cfg.get("stream", False)))
     log(f"render_test: {res}")
     if cfg.get("render_train", False):

@@ -1183,3 +1183,38 @@ def test_final_n_vis_decoupled(tmp_path):
     st = yaml.safe_load(open(
         tmp_path / "synthetic_shiny_fnv" / "imgs_test_all" / "stats.yaml"))
     assert len(st["psnr"]) == 3
+
+
+class TestRenderOnlyMetricParity:
+    def test_render_only_reports_envmap_metrics(self, tmp_path):
+        """The render_only path resolves gt_bg exactly like the in-train
+        final eval (round-5 fix: it previously skipped the resolution, so
+        render_only stats rows silently lacked the envmap metric family —
+        and round-4 tier A/B rows were not comparable to in-train final
+        evals on that axis)."""
+        from nmf_tpu import config as config_lib
+        from nmf_tpu.train import reconstruction, render_test
+
+        base = [
+            "model=microfacet_tensorf2", "dataset=synthetic_shiny",
+            "dataset.image_size=24", "dataset.n_views=2",
+            "model.params.batch_size=256", "model.params.n_iters=4",
+            "field.N_voxel_init=4096", "field.N_voxel_final=4096",
+            "field.upsamp_list=[]", "model.arch.sampler.update_list=[]",
+            "model.arch.max_samples_per_ray=16",
+            "model.arch.recur_samples_per_ray=8",
+            "model.arch.model.brdf_ray_budget=[64,32]",
+            "model.arch.model.max_retrace_rays=[16]",
+            "vis_every=0", "N_vis=1", "render_test=True",
+            f"basedir={tmp_path}", "expname=ro", "chain_steps=2",
+            "progress_refresh_rate=16", "save_every=0",
+        ]
+        _, res_train = reconstruction(config_lib.compose(base),
+                                      log=lambda *a, **k: None)
+        assert "envmap_psnr" in res_train  # in-train final eval has it
+        ck = tmp_path / "synthetic_shiny_ro" / "synthetic_shiny_ro.th"
+        _, res_ro = render_test(
+            config_lib.compose(base + [f"ckpt={ck}", "render_only=True",
+                                       "expname=ro2"]),
+            log=lambda *a, **k: None)
+        assert "envmap_psnr" in res_ro  # ...and now render_only does too
