@@ -323,6 +323,21 @@ def _chip_contended():
     runs/tpu_queue_*.sh run_pg)."""
     import glob
 
+    def _ancestors():
+        pids, pid = set(), os.getpid()
+        for _ in range(64):
+            pids.add(pid)
+            try:
+                with open(f"/proc/{pid}/stat") as fh:
+                    pid = int(fh.read().split(")")[-1].split()[1])
+            except (OSError, ValueError, IndexError):
+                break
+            if pid <= 1:
+                pids.add(pid)
+                break
+        return pids
+
+    own = _ancestors()
     for f in glob.glob("/tmp/qv6_stage.pid"):
         try:
             # age out stale pid files (longest stage timeout is 3 h): a
@@ -330,6 +345,12 @@ def _chip_contended():
             if time.time() - os.path.getmtime(f) > 4 * 3600:
                 continue
             pid = int(Path(f).read_text().strip())
+            if pid in own:
+                # the pid file names OUR OWN queue stage (bench itself was
+                # launched through run_pg): that is not contention. Without
+                # this, an in-queue bench permanently emits stale replays
+                # (observed round 5: bench_r5 self-suppressed in 2 s).
+                continue
             os.kill(pid, 0)
             return True
         except PermissionError:
