@@ -234,3 +234,34 @@ class TestRenderMerge:
         total = sum(float(jnp.abs(x).sum()) for x in
                     jax.tree_util.tree_leaves(g))
         assert np.isfinite(total) and total > 0
+
+
+class TestMergePrecedenceWarning:
+    def test_warns_when_merge_and_two_stage_both_set(self):
+        """merge_runs takes precedence over app_samples_per_ray (ADVICE r4
+        low): a config setting both gets a warning at trace time instead
+        of silently ignoring the two-stage knob."""
+        import warnings
+
+        from nmf_tpu import config as config_lib
+        from nmf_tpu.builders import build_nmf
+        from nmf_tpu.render import render
+
+        cfg = config_lib.compose([
+            "model=tensorf", "dataset=synthetic_sphere",
+            "field.N_voxel_init=4096", "field.N_voxel_final=4096",
+            "field.upsamp_list=[]",
+            "model.arch.max_samples_per_ray=48",
+            "model.arch.app_samples_per_ray=24",
+            "model.arch.merge_runs=16"])
+        aabb = np.array([[-1.5] * 3, [1.5] * 3], np.float32)
+        nmf = build_nmf(jax.random.PRNGKey(3), cfg["model"]["arch"], aabb,
+                        (2.0, 6.0))
+        o = np.tile([[0.0, 0.0, -4.0]], (8, 1)).astype(np.float32)
+        d = np.tile([[0.0, 0.0, 1.0]], (8, 1)).astype(np.float32)
+        rays = jnp.asarray(np.concatenate([o, d], -1))
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            render(nmf, rays, jax.random.PRNGKey(0), is_train=True)
+        assert any("merge_runs takes precedence" in str(w.message)
+                   for w in rec), [str(w.message) for w in rec]
