@@ -1218,3 +1218,34 @@ class TestRenderOnlyMetricParity:
                                        "expname=ro2"]),
             log=lambda *a, **k: None)
         assert "envmap_psnr" in res_ro  # ...and now render_only does too
+
+    def test_resolve_gt_bg_arms(self, tmp_path):
+        """_resolve_gt_bg resolution order: dataset yaml name under
+        backgrounds/ > top-level absolute override > procedural
+        gt_bg_im > None (shared by the in-train final eval and
+        render_only; reference train.py:489-493)."""
+        import imageio.v2 as imageio
+
+        from nmf_tpu.train import _resolve_gt_bg
+
+        (tmp_path / "backgrounds").mkdir()
+        ds_png = tmp_path / "backgrounds" / "scene_bg.png"
+        imageio.imwrite(ds_png, (np.ones((4, 8, 3)) * 128).astype(np.uint8))
+        abs_png = tmp_path / "override.png"
+        imageio.imwrite(abs_png, (np.ones((2, 4, 3)) * 64).astype(np.uint8))
+        proc = np.zeros((3, 6, 3), np.float32)
+
+        # dataset yaml name wins when the file exists
+        im = _resolve_gt_bg({"dataset": {"gt_bg": "scene_bg.png"}},
+                            str(tmp_path), {})
+        assert im.shape == (4, 8, 3)
+        # absolute override when the dataset name is missing on disk
+        im = _resolve_gt_bg({"gt_bg": str(abs_png),
+                             "dataset": {"gt_bg": "nope.png"}},
+                            str(tmp_path), {})
+        assert im.shape == (2, 4, 3)
+        # procedural scenes fall back to their own GT panorama
+        im = _resolve_gt_bg({"dataset": {}}, str(tmp_path),
+                            {"gt_bg_im": proc})
+        assert im.shape == (3, 6, 3)
+        assert _resolve_gt_bg({"dataset": {}}, str(tmp_path), {}) is None
